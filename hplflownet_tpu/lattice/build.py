@@ -1,0 +1,388 @@
+"""Sort-based on-device lattice construction with static shapes.
+
+This replaces the reference's host-side C hash table + Numba builder
+(/root/reference/transforms/transforms.py:133-261, models/khash.h) with a
+TPU-friendly pipeline that runs inside ``jax.jit``:
+
+1. Pack each (d+1)-int lattice key into a pair of int32 words (keys sum to
+   zero, so the last coordinate is dropped).  int32 pairs keep everything in
+   TPU-native 32-bit arithmetic — no int64 emulation.
+2. ``lax.sort`` the packed keys lexicographically (``num_keys=2``) and mark
+   first-occurrences to assign dense vertex ids; scatter the unique keys into
+   a static-``capacity`` sorted vertex table (sentinel-padded).
+3. All lookups (per-point vertex ids, blur-neighbor tables, correlation
+   tables) become vectorized branchless binary searches over that table.
+
+The variable per-sample ``hash_cnt`` of the reference
+(transforms/transforms.py:390-391) becomes a static per-scale ``capacity``;
+vertices beyond capacity are dropped (counted in ``overflow`` for
+monitoring) and missing neighbors are ``-1`` exactly like the reference.
+
+Index layout: neighbor tables here are vertex-major — ``(H, F)`` instead of
+the reference's ``(F, H)`` — so the blur gather directly yields the
+``(H, F, C)`` operand of the MXU matmul.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import PermutohedralGeometry
+from .offsets import neighborhood_offsets
+
+__all__ = [
+    "ScaleSpec",
+    "LatticeSpec",
+    "CloudLattice",
+    "ScalePair",
+    "build_cloud_lattice",
+    "build_pyramid",
+    "default_capacities",
+]
+
+# 15 bits per packed coordinate: lattice keys are elevated coords rounded to
+# multiples of d+1; for metric scene-flow data (|x| <~ 100 m, scales <= 3)
+# they stay well inside +-16383.
+_COORD_BITS = 15
+_COORD_BIAS = 1 << (_COORD_BITS - 1)
+_SENTINEL = np.int32(np.iinfo(np.int32).max)
+
+
+class ScaleSpec(NamedTuple):
+    """One row of the reference's ``scales_filter_map`` plus a static capacity."""
+
+    scale: float
+    blur_radius: int          # -1 => no blur tables at this scale
+    corr_filter_radius: int   # -1 => no correlation at this scale
+    corr_corr_radius: int
+    capacity: int             # static max #lattice vertices per cloud
+
+
+class LatticeSpec(NamedTuple):
+    d: int
+    scales: tuple  # tuple[ScaleSpec, ...]
+
+    @property
+    def d1(self) -> int:
+        return self.d + 1
+
+
+class CloudLattice(NamedTuple):
+    """Per-cloud, per-scale lattice assignment (all static shapes)."""
+
+    lattice_offset: jax.Array   # (N, d1) int32, dense vertex id; -1 if absent
+    barycentric: jax.Array      # (N, d1) float32, zero rows for invalid points
+    el_minus_gr: jax.Array      # (N, d1) float32
+    vkeys_hi: jax.Array         # (H,) int32 sorted packed keys, sentinel-padded
+    vkeys_lo: jax.Array         # (H,) int32
+    vertex_valid: jax.Array     # (H,) bool
+    num_valid: jax.Array        # () int32: true vertex count (min(count, H))
+    overflow: jax.Array         # () int32: unique keys dropped past capacity
+
+
+class ScalePair(NamedTuple):
+    """Everything both clouds need at one scale (mirrors the reference's
+    12-key per-scale dict, transforms/transforms.py:471-483, padded static)."""
+
+    pc1_barycentric: jax.Array     # (N1, d1) f32
+    pc2_barycentric: jax.Array     # (N2, d1) f32
+    pc1_el_minus_gr: jax.Array     # (N1, d1) f32
+    pc2_el_minus_gr: jax.Array     # (N2, d1) f32
+    pc1_lattice_offset: jax.Array  # (N1, d1) i32
+    pc2_lattice_offset: jax.Array  # (N2, d1) i32
+    pc1_blur_neighbors: jax.Array  # (H1, F) i32 or (1, 1) when blur disabled
+    pc2_blur_neighbors: jax.Array  # (H2, F) i32
+    pc1_corr_indices: jax.Array    # (H1, Cc) i32 or (1, 1)
+    pc2_corr_indices: jax.Array    # (F, H1, Cc) i32 or (1, 1, 1)
+    pc1_num_valid: jax.Array       # () i32
+    pc2_num_valid: jax.Array       # () i32
+    pc1_overflow: jax.Array        # () i32
+    pc2_overflow: jax.Array        # () i32
+
+
+# ---------------------------------------------------------------------------
+# key packing
+# ---------------------------------------------------------------------------
+
+def _pack_keys(keys: jax.Array, d: int):
+    """(..., d1) int32 keys -> lexicographically ordered (hi, lo) int32 pair.
+
+    The last coordinate is redundant (keys sum to 0) and dropped.  Supports
+    d <= 4: one coordinate in ``hi`` (d <= 3) or two (d == 4), two in ``lo``.
+    """
+    if d == 3:
+        hi = keys[..., 0]
+        lo = ((keys[..., 1] + _COORD_BIAS) << _COORD_BITS) | (keys[..., 2] + _COORD_BIAS)
+    elif d == 2:
+        hi = keys[..., 0]
+        lo = keys[..., 1] + _COORD_BIAS
+    elif d == 4:
+        hi = ((keys[..., 0] + _COORD_BIAS) << _COORD_BITS) | (keys[..., 1] + _COORD_BIAS)
+        lo = ((keys[..., 2] + _COORD_BIAS) << _COORD_BITS) | (keys[..., 3] + _COORD_BIAS)
+    else:
+        raise NotImplementedError(f"key packing for d={d}")
+    return hi.astype(jnp.int32), lo.astype(jnp.int32)
+
+
+def _pack_deltas(offsets: np.ndarray, d: int):
+    """Pack stencil offsets so that packed-key + packed-delta == packed(key + offset)."""
+    offsets = offsets.astype(np.int64)
+    if d == 3:
+        hi = offsets[..., 0]
+        lo = (offsets[..., 1] << _COORD_BITS) + offsets[..., 2]
+    elif d == 2:
+        hi = offsets[..., 0]
+        lo = offsets[..., 1]
+    elif d == 4:
+        hi = (offsets[..., 0] << _COORD_BITS) + offsets[..., 1]
+        lo = (offsets[..., 2] << _COORD_BITS) + offsets[..., 3]
+    else:
+        raise NotImplementedError(f"delta packing for d={d}")
+    return (
+        jnp.asarray(hi.astype(np.int32)),
+        jnp.asarray(lo.astype(np.int32)),
+    )
+
+
+def _unpack_keys(hi: jax.Array, lo: jax.Array, d: int) -> jax.Array:
+    """Inverse of :func:`_pack_keys`; reconstructs the dropped last coordinate."""
+    mask = (1 << _COORD_BITS) - 1
+    if d == 3:
+        k0 = hi
+        k1 = (lo >> _COORD_BITS) - _COORD_BIAS
+        k2 = (lo & mask) - _COORD_BIAS
+        k3 = -(k0 + k1 + k2)
+        return jnp.stack([k0, k1, k2, k3], axis=-1)
+    if d == 2:
+        k0 = hi
+        k1 = lo - _COORD_BIAS
+        return jnp.stack([k0, k1, -(k0 + k1)], axis=-1)
+    if d == 4:
+        k0 = (hi >> _COORD_BITS) - _COORD_BIAS
+        k1 = (hi & mask) - _COORD_BIAS
+        k2 = (lo >> _COORD_BITS) - _COORD_BIAS
+        k3 = (lo & mask) - _COORD_BIAS
+        return jnp.stack([k0, k1, k2, k3, -(k0 + k1 + k2 + k3)], axis=-1)
+    raise NotImplementedError(f"key unpacking for d={d}")
+
+
+# ---------------------------------------------------------------------------
+# sorted-table probe (vectorized branchless binary search)
+# ---------------------------------------------------------------------------
+
+def _pair_less(ahi, alo, bhi, blo):
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def _probe(vhi: jax.Array, vlo: jax.Array, qhi: jax.Array, qlo: jax.Array):
+    """Find each query key in the sorted vertex table.
+
+    Returns ``(idx, found)`` with the dense vertex id (int32) and a bool mask;
+    ``idx`` is arbitrary where ``found`` is False.  Static ``ceil(log2(H))``
+    unrolled steps, fully vectorized over the query shape.
+    """
+    capacity = vhi.shape[0]
+    pos = jnp.zeros(qhi.shape, dtype=jnp.int32)
+    step = 1 << max(0, (capacity - 1).bit_length())
+    while step > 0:
+        cand = pos + step
+        in_range = cand <= capacity
+        chi = vhi[jnp.clip(cand - 1, 0, capacity - 1)]
+        clo = vlo[jnp.clip(cand - 1, 0, capacity - 1)]
+        take = in_range & _pair_less(chi, clo, qhi, qlo)
+        pos = jnp.where(take, cand, pos)
+        step >>= 1
+    safe = jnp.clip(pos, 0, capacity - 1)
+    found = (pos < capacity) & (vhi[safe] == qhi) & (vlo[safe] == qlo)
+    return pos, found
+
+
+# ---------------------------------------------------------------------------
+# per-cloud build
+# ---------------------------------------------------------------------------
+
+def build_cloud_lattice(
+    geom: PermutohedralGeometry,
+    points: jax.Array,       # (N, d) float32
+    valid: jax.Array,        # (N,) bool
+    scale: float,
+    capacity: int,
+) -> CloudLattice:
+    """Assign points to lattice vertices and build the dense-id vertex table."""
+    d, d1 = geom.d, geom.d1
+    kb = geom.keys_and_barycentric(points, scale)
+
+    hi, lo = _pack_keys(kb.keys, d)                        # (N, d1)
+    hi = jnp.where(valid[:, None], hi, _SENTINEL)
+    lo = jnp.where(valid[:, None], lo, _SENTINEL)
+
+    shi, slo = jax.lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+    real = ~((shi == _SENTINEL) & (slo == _SENTINEL))
+    is_new = jnp.ones(shi.shape, dtype=bool)
+    is_new = is_new.at[1:].set((shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]))
+    is_new = is_new & real
+
+    ranks = jnp.cumsum(is_new.astype(jnp.int32)) - 1       # (N*d1,)
+    num_unique = jnp.sum(is_new.astype(jnp.int32))
+    overflow = jnp.maximum(num_unique - capacity, 0)
+
+    target = jnp.where(is_new & (ranks < capacity), ranks, capacity)
+    vhi = jnp.full((capacity,), _SENTINEL).at[target].set(shi, mode="drop")
+    vlo = jnp.full((capacity,), _SENTINEL).at[target].set(slo, mode="drop")
+    vertex_valid = vhi != _SENTINEL
+
+    idx, found = _probe(vhi, vlo, hi, lo)                  # (N, d1)
+    lattice_offset = jnp.where(valid[:, None] & found, idx, -1)
+
+    barycentric = jnp.where(valid[:, None], kb.barycentric, 0.0)
+    el_minus_gr = jnp.where(valid[:, None], kb.el_minus_gr, 0.0)
+
+    return CloudLattice(
+        lattice_offset=lattice_offset.astype(jnp.int32),
+        barycentric=barycentric,
+        el_minus_gr=el_minus_gr,
+        vkeys_hi=vhi,
+        vkeys_lo=vlo,
+        vertex_valid=vertex_valid,
+        num_valid=jnp.minimum(num_unique, capacity).astype(jnp.int32),
+        overflow=overflow.astype(jnp.int32),
+    )
+
+
+def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int) -> jax.Array:
+    """(H, F) blur-neighbor ids for one cloud; -1 where the neighbor is absent."""
+    dhi, dlo = _pack_deltas(offsets, d)                    # (F,)
+    qhi = cl.vkeys_hi[:, None] + dhi[None, :]              # (H, F)
+    qlo = cl.vkeys_lo[:, None] + dlo[None, :]
+    idx, found = _probe(cl.vkeys_hi, cl.vkeys_lo, qhi, qlo)
+    ok = found & cl.vertex_valid[:, None]
+    return jnp.where(ok, idx, -1).astype(jnp.int32)
+
+
+def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
+                 filter_offsets: np.ndarray, corr_offsets: np.ndarray, d: int):
+    """Correlation index tables (reference semantics, transforms.py:223-241).
+
+    pc1_corr[h, c]       = id of (key1[h] + corr_offsets[c]) in cloud-1 table
+    pc2_corr[f, h, c]    = id of (key1[h] + corr_offsets[c] + filter_offsets[f])
+                           in cloud-2 table
+    """
+    chi, clo = _pack_deltas(corr_offsets, d)               # (Cc,)
+    fhi, flo = _pack_deltas(filter_offsets, d)             # (F,)
+
+    center_hi = cl1.vkeys_hi[:, None] + chi[None, :]       # (H1, Cc)
+    center_lo = cl1.vkeys_lo[:, None] + clo[None, :]
+
+    idx1, found1 = _probe(cl1.vkeys_hi, cl1.vkeys_lo, center_hi, center_lo)
+    ok1 = found1 & cl1.vertex_valid[:, None]
+    pc1_corr = jnp.where(ok1, idx1, -1).astype(jnp.int32)
+
+    q2hi = center_hi[None, :, :] + fhi[:, None, None]      # (F, H1, Cc)
+    q2lo = center_lo[None, :, :] + flo[:, None, None]
+    idx2, found2 = _probe(cl2.vkeys_hi, cl2.vkeys_lo, q2hi, q2lo)
+    ok2 = found2 & cl1.vertex_valid[None, :, None]
+    pc2_corr = jnp.where(ok2, idx2, -1).astype(jnp.int32)
+    return pc1_corr, pc2_corr
+
+
+def _next_points(geom: PermutohedralGeometry, cl: CloudLattice, scale: float):
+    """Un-elevate lattice vertices into the next scale's (metric) points."""
+    keys = _unpack_keys(cl.vkeys_hi, cl.vkeys_lo, geom.d)  # (H, d1)
+    keys = jnp.where(cl.vertex_valid[:, None], keys, 0)
+    pts = geom.unelevate(keys, scale)                      # (H, d)
+    return pts, cl.vertex_valid
+
+
+# ---------------------------------------------------------------------------
+# full multi-scale pyramid
+# ---------------------------------------------------------------------------
+
+def build_pyramid(
+    spec: LatticeSpec,
+    pc1: jax.Array,                  # (N, d) float32, metric coords
+    pc2: jax.Array,
+    valid1: jax.Array | None = None,  # (N,) bool
+    valid2: jax.Array | None = None,
+):
+    """Build all per-scale lattice tables for a cloud pair (single sample).
+
+    Jittable; vmap over a leading batch axis for batch > 1.  Mirrors
+    ``GenerateDataUnsymmetric.__call__`` (transforms/transforms.py:358-485)
+    with static shapes: each scale's points are the previous scale's (padded)
+    vertex positions, carrying a validity mask instead of a dynamic count.
+    """
+    geom = PermutohedralGeometry(spec.d)
+    if valid1 is None:
+        valid1 = jnp.ones(pc1.shape[0], dtype=bool)
+    if valid2 is None:
+        valid2 = jnp.ones(pc2.shape[0], dtype=bool)
+
+    pts1, pts2 = pc1, pc2
+    scales_out = []
+    for ss in spec.scales:
+        cl1 = build_cloud_lattice(geom, pts1, valid1, ss.scale, ss.capacity)
+        cl2 = build_cloud_lattice(geom, pts2, valid2, ss.scale, ss.capacity)
+
+        if ss.blur_radius != -1:
+            offs = neighborhood_offsets(ss.blur_radius, spec.d)
+            nb1 = _neighbor_table(cl1, offs, spec.d)
+            nb2 = _neighbor_table(cl2, offs, spec.d)
+        else:
+            nb1 = jnp.zeros((1, 1), dtype=jnp.int32)
+            nb2 = jnp.zeros((1, 1), dtype=jnp.int32)
+
+        if ss.corr_filter_radius != -1:
+            f_offs = neighborhood_offsets(ss.corr_filter_radius, spec.d)
+            c_offs = neighborhood_offsets(ss.corr_corr_radius, spec.d)
+            corr1, corr2 = _corr_tables(cl1, cl2, f_offs, c_offs, spec.d)
+        else:
+            corr1 = jnp.zeros((1, 1), dtype=jnp.int32)
+            corr2 = jnp.zeros((1, 1, 1), dtype=jnp.int32)
+
+        scales_out.append(ScalePair(
+            pc1_barycentric=cl1.barycentric,
+            pc2_barycentric=cl2.barycentric,
+            pc1_el_minus_gr=cl1.el_minus_gr,
+            pc2_el_minus_gr=cl2.el_minus_gr,
+            pc1_lattice_offset=cl1.lattice_offset,
+            pc2_lattice_offset=cl2.lattice_offset,
+            pc1_blur_neighbors=nb1,
+            pc2_blur_neighbors=nb2,
+            pc1_corr_indices=corr1,
+            pc2_corr_indices=corr2,
+            pc1_num_valid=cl1.num_valid,
+            pc2_num_valid=cl2.num_valid,
+            pc1_overflow=cl1.overflow,
+            pc2_overflow=cl2.overflow,
+        ))
+
+        pts1, valid1 = _next_points(geom, cl1, ss.scale)
+        pts2, valid2 = _next_points(geom, cl2, ss.scale)
+
+    return scales_out
+
+
+def default_capacities(num_points: int, scales: Sequence[Sequence[float]]):
+    """Heuristic static capacities per scale.
+
+    At fine scales nearly every point touches d+1 distinct vertices; each
+    coarser scale roughly halves lattice resolution so occupancy shrinks
+    geometrically.  Tune with ``tools/measure_capacities.py`` on real data.
+    """
+    caps = []
+    n = num_points
+    prev_scale = None
+    for row in scales:
+        scale = float(row[0])
+        if prev_scale is None:
+            cap = 3 * n
+        else:
+            shrink = max(1.0, (prev_scale / scale) ** 1.5)
+            cap = max(64, int(caps[-1] / shrink))
+        caps.append(int(cap))
+        prev_scale = scale
+    return caps

@@ -1,0 +1,153 @@
+"""Permutohedral lattice geometry: elevation, rounding, barycentric weights.
+
+Pure-JAX, points-major (channels-last) implementation of the lattice-point
+assignment that the reference computes per sample on the host with torch-CPU
+(/root/reference/transforms/transforms.py:300-353,
+``GenerateDataUnsymmetric.get_keys_and_barycentric``).  Everything here is
+jittable, vmappable and static-shape.
+
+Math recap (Adams et al., "Fast High-Dimensional Filtering Using the
+Permutohedral Lattice"): a d-dim point is elevated onto the hyperplane
+``sum(x) == 0`` in (d+1)-dim space, rounded to the nearest remainder-0 lattice
+point, and its enclosing simplex is found by ranking the rounding residuals.
+Each point gets d+1 lattice keys (one per remainder) and d+1 barycentric
+weights.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "elevation_matrix",
+    "canonical_matrix",
+    "expected_std",
+    "PermutohedralGeometry",
+    "KeysBarycentric",
+]
+
+
+def expected_std(d: int) -> float:
+    """Scale factor so unit-variance data spans ~2 lattice cells (reference :275)."""
+    return (d + 1) * math.sqrt(2.0 / 3.0)
+
+
+@lru_cache(maxsize=None)
+def elevation_matrix(d: int) -> np.ndarray:
+    """The (d+1, d) elevation matrix E with zero column sums.
+
+    ``E[:, j]`` has j+1 entries equal to 1/sqrt((j+1)(j+2)), then one entry
+    ``-(j+1)/sqrt((j+1)(j+2))``, then zeros — an orthogonal basis of the
+    ``sum == 0`` hyperplane.  Matches the construction at
+    /root/reference/transforms/transforms.py:271-276 bit-for-bit in float32.
+    """
+    left = np.triu(np.ones((d + 1, d), dtype=np.float32))
+    left[1:, :] += np.diag(np.arange(-1, -d - 1, -1, dtype=np.float32))
+    scale = np.sqrt(
+        np.arange(1, d + 1, dtype=np.float32) * np.arange(2, d + 2, dtype=np.float32)
+    )
+    right = np.diag((1.0 / scale).astype(np.float32))
+    return (left @ right).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def canonical_matrix(d: int) -> np.ndarray:
+    """The (d+1, d+1) canonical simplex offsets, row-indexed by coordinate rank.
+
+    Column r holds the key offset for remainder-r vertices: the first d+1-r
+    rows are ``r`` and the last r rows are ``r - d - 1``
+    (reference :281-285).
+    """
+    d1 = d + 1
+    canonical = np.tile(np.arange(d1, dtype=np.int32), (d1, 1))
+    for i in range(1, d1):
+        canonical[-i:, i] = i - d1
+    return canonical
+
+
+class KeysBarycentric(NamedTuple):
+    """Per-point simplex assignment for one cloud at one lattice scale."""
+
+    keys: jax.Array          # (N, d1, d1) int32 — keys[n, r, :] = key of remainder-r vertex
+    barycentric: jax.Array   # (N, d1) float32 — weight of remainder-r vertex
+    el_minus_gr: jax.Array   # (N, d1) float32 — position-in-simplex feature
+
+
+class PermutohedralGeometry:
+    """Precomputed constants + the elevate/round/rank kernel for dimension d."""
+
+    def __init__(self, d: int):
+        self.d = d
+        self.d1 = d + 1
+        self.expected_std = expected_std(d)
+        self.elevate_mat = jnp.asarray(elevation_matrix(d))
+        self.canonical = jnp.asarray(canonical_matrix(d))
+
+    def elevate(self, points: jax.Array, scale: float) -> jax.Array:
+        """(N, d) metric points -> (N, d1) elevated coords at lattice ``scale``."""
+        scaled = points.astype(jnp.float32) * jnp.float32(scale)
+        return (
+            jnp.matmul(scaled, self.elevate_mat.T, precision=jax.lax.Precision.HIGHEST)
+            * jnp.float32(self.expected_std)
+        )
+
+    def unelevate(self, keys: jax.Array, scale: float) -> jax.Array:
+        """(H, d1) lattice keys -> (H, d) metric coordinates (reference :461-469)."""
+        un = keys.astype(jnp.float32) / jnp.float32(self.expected_std * scale)
+        return jnp.matmul(un, self.elevate_mat, precision=jax.lax.Precision.HIGHEST)
+
+    def keys_and_barycentric(self, points: jax.Array, scale: float) -> KeysBarycentric:
+        """Simplex keys + barycentric weights for (N, d) points.
+
+        Behavior-parity target: reference :300-353 (validated against a numpy
+        oracle in tests/oracle/lattice_oracle.py).
+        """
+        d, d1 = self.d, self.d1
+        num_points = points.shape[0]
+        rows = jnp.arange(num_points, dtype=jnp.int32)[:, None]
+
+        elevated = self.elevate(points, scale)                       # (N, d1)
+        greedy = jnp.round(elevated / d1) * d1                        # nearest remainder-0
+        el_minus_gr = elevated - greedy
+
+        # rank[n, c] = position of coordinate c in descending residual order
+        # (stable, ties broken by coordinate index).
+        order = jnp.argsort(-el_minus_gr, axis=1, stable=True)
+        rank = jnp.argsort(order, axis=1, stable=True).astype(jnp.int32)
+
+        # The rounded point may be off the sum==0 plane by d1*k; fix by moving
+        # the k largest (or smallest) residual coordinates to the next lattice
+        # plane (reference :322-334).
+        remainder_sum = greedy.sum(axis=1, keepdims=True) / d1        # (N, 1) float
+        rank_f = rank.astype(jnp.float32)
+        cond = (
+            ((rank_f >= d1 - remainder_sum) & (remainder_sum > 0))
+            | ((rank_f < -remainder_sum) & (remainder_sum < 0))
+        ).astype(jnp.float32)
+        sign = jnp.where(remainder_sum > 0, -1.0, 0.0) + jnp.where(
+            remainder_sum < 0, 1.0, 0.0
+        )
+        greedy = greedy + d1 * sign * cond
+        rank = rank + (d1 * sign * cond).astype(jnp.int32)
+        rank = rank + remainder_sum.astype(jnp.int32)
+
+        # Barycentric coordinates from the sorted residuals (reference :337-345).
+        el_minus_gr = elevated - greedy
+        bary = jnp.zeros((num_points, d1 + 1), dtype=jnp.float32)
+        bary = bary.at[rows, d - rank].add(el_minus_gr)
+        bary = bary.at[rows, d1 - rank].add(-el_minus_gr)
+        bary = bary / d1
+        bary = bary.at[:, 0].add(1.0 + bary[:, d1])
+        bary = bary[:, :d1]
+
+        # keys[n, r, c] = greedy[n, c] + canonical[rank[n, c], r]
+        keys = greedy.astype(jnp.int32)[:, None, :] + jnp.transpose(
+            self.canonical[rank], (0, 2, 1)
+        )
+        return KeysBarycentric(keys=keys, barycentric=bary, el_minus_gr=el_minus_gr)
