@@ -1,0 +1,117 @@
+"""Benchmark: end-to-end scene-flow inference throughput on one TPU chip.
+
+Measures 8192-point pairs/sec through the full pipeline — on-device lattice
+pyramid construction + HPLFlowNet forward — matching the reference's eval
+protocol (8192 points, full model).  Prints one JSON line.
+
+Baseline: the reference publishes no throughput; the north-star target is
+>= 50 pairs/sec/chip (BASELINE.md), so vs_baseline = pairs_per_sec / 50.
+"""
+
+import json
+import time
+
+import numpy as np
+
+NUM_POINTS = 8192
+BATCH = 4
+WARMUP = 3
+ITERS = 20
+TARGET = 50.0  # pairs/sec/chip north star (BASELINE.md)
+
+SFM7 = [[3.0, 1, -1, -1], [2.0, 1, -1, -1], [1.0, 1, 1, 1],
+        [0.5, 1, 1, 1], [0.25, 1, 1, 1], [0.125, 1, 1, 1],
+        [0.0625, 1, 1, 1]]
+
+
+def synthetic_frustum_clouds(batch, n, seed=0):
+    """FT3D-like clouds: points on surfaces inside a 35 m camera frustum."""
+    rng = np.random.RandomState(seed)
+    out1, out2 = [], []
+    for b in range(batch):
+        # a few hundred planar patches to mimic surface structure
+        n_patches = 300
+        centers = np.stack([
+            rng.uniform(-15, 15, n_patches),
+            rng.uniform(-8, 8, n_patches),
+            rng.uniform(2, 34, n_patches),
+        ], axis=1).astype(np.float32)
+        which = rng.randint(0, n_patches, n)
+        local = rng.randn(n, 3).astype(np.float32)
+        normals = rng.randn(n_patches, 3).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        local -= (local * normals[which]).sum(1, keepdims=True) * normals[which]
+        pc1 = centers[which] + 0.8 * local
+        flow = 0.1 * rng.randn(n_patches, 3).astype(np.float32)
+        pc2 = pc1 + flow[which] + 0.01 * rng.randn(n, 3).astype(np.float32)
+        out1.append(pc1)
+        out2.append(pc2)
+    return np.stack(out1), np.stack(out2)
+
+
+def measure_capacities(spec_rows, pc1, pc2, slack=1.25, align=256):
+    """Probe true per-scale vertex counts, return padded static capacities."""
+    import jax.numpy as jnp
+    from hplflownet_tpu.pipeline import make_lattice_spec
+    from hplflownet_tpu.lattice import build_pyramid
+
+    n = pc1.shape[1]
+    generous = [4 * n] * 3 + [2 * n] * 2 + [n] * (len(spec_rows) - 5)
+    spec = make_lattice_spec(spec_rows, capacities=generous)
+    worst = [0] * len(spec_rows)
+    for b in range(pc1.shape[0]):
+        scales = build_pyramid(spec, jnp.asarray(pc1[b]), jnp.asarray(pc2[b]))
+        for i, sp in enumerate(scales):
+            worst[i] = max(worst[i],
+                           int(sp.pc1_num_valid), int(sp.pc2_num_valid))
+            assert int(sp.pc1_overflow) == 0 and int(sp.pc2_overflow) == 0
+    return [int(-(-int(w * slack) // align) * align) for w in worst]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hplflownet_tpu.models import HPLFlowNet
+    from hplflownet_tpu.pipeline import make_lattice_spec, flow_forward
+    from hplflownet_tpu.lattice import build_pyramid
+
+    pc1, pc2 = synthetic_frustum_clouds(BATCH, NUM_POINTS)
+    caps = measure_capacities(SFM7, pc1, pc2)
+
+    spec = make_lattice_spec(SFM7, capacities=caps)
+    model = HPLFlowNet(scales_filter_map=SFM7)
+
+    j1 = jnp.asarray(pc1[0])
+    j2 = jnp.asarray(pc2[0])
+    scales = build_pyramid(spec, j1, j2)
+    params = model.init(jax.random.PRNGKey(0), j1, j2, scales)
+
+    @jax.jit
+    def fwd(params, a, b):
+        def single(x, y):
+            return flow_forward(model, params, spec, x, y)
+        return jax.vmap(single)(a, b)
+
+    a = jnp.asarray(pc1)
+    b = jnp.asarray(pc2)
+    fwd(params, a, b).block_until_ready()
+    for _ in range(WARMUP):
+        fwd(params, a, b).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fwd(params, a, b)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "pairs_per_sec",
+        "value": round(pairs_per_sec, 3),
+        "unit": f"{NUM_POINTS}-pt pairs/sec/chip (fwd incl. lattice build)",
+        "vs_baseline": round(pairs_per_sec / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

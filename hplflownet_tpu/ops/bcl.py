@@ -22,13 +22,37 @@ reference's index-0 sentinel trick (:158-164, :192-196).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["splat", "blur_matmul", "slice_to_points", "BilateralConv", "LEAKY_RATE"]
+__all__ = ["splat", "blur_matmul", "slice_to_points", "BilateralConv",
+           "LEAKY_RATE", "vertex_constraint"]
+
+# Trace-time hook for sharding the vertex axis (see parallel/lattice_parallel):
+# when set, every vertex-major intermediate is passed through it, typically a
+# jax.lax.with_sharding_constraint over the 'lattice' mesh axis.
+_VERTEX_CONSTRAINT: contextvars.ContextVar = contextvars.ContextVar(
+    "vertex_constraint", default=None)
+
+
+@contextlib.contextmanager
+def vertex_constraint(fn):
+    """Install a vertex-axis annotation hook for the duration of a trace."""
+    token = _VERTEX_CONSTRAINT.set(fn)
+    try:
+        yield
+    finally:
+        _VERTEX_CONSTRAINT.reset(token)
+
+
+def _constrain_vertices(x: jax.Array) -> jax.Array:
+    fn = _VERTEX_CONSTRAINT.get()
+    return fn(x) if fn is not None else x
 
 LEAKY_RATE = 0.1  # reference: models/module_utils.py:6
 NORM_EPS = 1e-5   # reference: models/bilateralNN.py:185
@@ -85,7 +109,7 @@ def blur_matmul(
 
     acc0 = jnp.broadcast_to(bias.astype(jnp.float32), (capacity, out_dim))
     acc, _ = jax.lax.scan(step, acc0, (neighbors.T, kernel))
-    return acc
+    return _constrain_vertices(acc)
 
 
 def slice_to_points(

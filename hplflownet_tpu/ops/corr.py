@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .bcl import splat, _activation, _dense_init, _first_tap_init
+from .bcl import (splat, _activation, _dense_init, _first_tap_init,
+                  _constrain_vertices)
 
 __all__ = ["BilateralCorrelation"]
 
@@ -131,4 +132,4 @@ class BilateralCorrelation(nn.Module):
             x = jnp.dot(x, k, preferred_element_type=jnp.float32) + b
             if i < len(self.widths) - 1 or self.last_relu:
                 x = act(x)
-        return x
+        return _constrain_vertices(x)

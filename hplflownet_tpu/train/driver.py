@@ -1,0 +1,273 @@
+"""Config-driven train / validate / evaluate driver.
+
+The TPU counterpart of the reference's main.py:26-290 and
+evaluation_bnn.py:17-128: same config surface and logging/metric protocol,
+but the step (lattice build + model + loss + update) is one jitted function
+and batch_size > 1 works.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import pickle
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import DATASETS, ProcessData, Augmentation, BatchLoader
+from ..models import MODELS
+from ..pipeline import make_lattice_spec
+from ..utils.logging import Logger, AverageMeter
+from .checkpoint import CheckpointIO
+from .geometry2d import get_batch_2d_flow
+from .metrics import evaluate_2d, evaluate_3d
+from .schedule import make_lr_schedule
+from .step import make_train_step, make_eval_step, set_learning_rate
+
+__all__ = ["run", "measure_capacities_from_loader", "build_everything"]
+
+
+def _device_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items() if k != "path"}
+
+
+def measure_capacities_from_loader(spec_rows, loader, num_batches=8,
+                                   slack=1.3, align=256, dim=3):
+    """Probe real vertex counts on a few batches to set static capacities."""
+    from ..lattice import build_pyramid
+
+    n = None
+    worst = [0] * len(spec_rows)
+    generous = None
+    spec = None
+    for bi, batch in enumerate(loader):
+        if bi >= num_batches:
+            break
+        if spec is None:
+            n = batch["pc1"].shape[1]
+            generous = [4 * n] * min(3, len(spec_rows)) + \
+                [2 * n] * max(0, len(spec_rows) - 3)
+            spec = make_lattice_spec(spec_rows, capacities=generous, d=dim)
+        for s in range(batch["pc1"].shape[0]):
+            scales = build_pyramid(spec, jnp.asarray(batch["pc1"][s]),
+                                   jnp.asarray(batch["pc2"][s]),
+                                   jnp.asarray(batch["valid1"][s]),
+                                   jnp.asarray(batch["valid2"][s]))
+            for i, sp in enumerate(scales):
+                worst[i] = max(worst[i], int(sp.pc1_num_valid),
+                               int(sp.pc2_num_valid))
+    return [int(-(-int(w * slack) // align) * align) for w in worst]
+
+
+def build_everything(args, logger):
+    """Datasets, loaders, model, lattice spec, initial params."""
+    dataset_cls = DATASETS[args.dataset]
+    num_points = args.num_points
+
+    ds_kwargs = dict(num_points=num_points, data_root=args.data_root)
+    if args.dataset == "KITTI":
+        ds_kwargs["remove_ground"] = bool(args.get_or("remove_ground", True))
+    if args.dataset == "FlyingThings3DSubset":
+        ds_kwargs["full"] = bool(args.get_or("full", False))
+
+    val_transform = ProcessData(args.data_process, num_points,
+                                args.allow_less_points)
+    val_dataset = dataset_cls(train=False, transform=val_transform,
+                              **ds_kwargs)
+    logger.log(f"val_dataset: {len(val_dataset)} samples")
+    val_loader = BatchLoader(val_dataset, args.batch_size, shuffle=False,
+                             num_threads=args.get_or("workers", 4),
+                             drop_last=False)
+
+    train_loader = None
+    if not args.evaluate:
+        train_transform = Augmentation(args.aug_together, args.aug_pc2,
+                                       args.data_process, num_points,
+                                       args.allow_less_points)
+        train_dataset = dataset_cls(train=True, transform=train_transform,
+                                    **ds_kwargs)
+        logger.log(f"train_dataset: {len(train_dataset)} samples")
+        train_loader = BatchLoader(train_dataset, args.batch_size,
+                                   shuffle=True, seed=args.get_or("seed", 0),
+                                   num_threads=args.get_or("workers", 4))
+
+    caps = args.get_or("lattice_capacities", None)
+    if caps is None:
+        logger.log("measuring lattice capacities on the val set...")
+        caps = measure_capacities_from_loader(
+            args.scales_filter_map, val_loader, dim=args.dim)
+        logger.log(f"lattice_capacities: {caps}")
+    spec = make_lattice_spec(args.scales_filter_map, capacities=list(caps),
+                             d=args.dim)
+
+    model = MODELS[args.arch](
+        scales_filter_map=args.scales_filter_map,
+        dim=args.dim,
+        use_leaky=bool(args.get_or("use_leaky", True)),
+        bcn_use_bias=bool(args.get_or("bcn_use_bias", True)),
+        bcn_use_norm=bool(args.get_or("bcn_use_norm", True)),
+        last_relu=bool(args.get_or("last_relu", False)),
+    )
+
+    # init from one sample
+    from ..lattice import build_pyramid
+    probe = next(iter(val_loader))
+    pc1 = jnp.asarray(probe["pc1"][0])
+    pc2 = jnp.asarray(probe["pc2"][0])
+    scales = build_pyramid(spec, pc1, pc2)
+    params = model.init(jax.random.PRNGKey(args.get_or("seed", 0)),
+                        pc1, pc2, scales)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    logger.log(f"=> created model '{args.arch}' ({n_params/1e6:.2f}M params)")
+    return dict(model=model, spec=spec, params=params,
+                train_loader=train_loader, val_loader=val_loader)
+
+
+def evaluate(args, model, spec, params, val_loader, logger,
+             dump_visu: bool = False):
+    """Full metric evaluation (reference evaluation_bnn.py:17-128)."""
+    eval_step = make_eval_step(model, spec)
+    meters = {k: AverageMeter() for k in
+              ("epe3d", "acc3ds", "acc3dr", "outliers", "epe2d", "acc2d")}
+    save_dir = osp.join(args.ckpt_dir, "visu_" + osp.split(args.ckpt_dir)[-1])
+    if dump_visu:
+        os.makedirs(save_dir, exist_ok=True)
+    epe3d_list, path_list = [], []
+
+    for i, batch in enumerate(val_loader):
+        db = _device_batch(batch)
+        _, pred = eval_step(params, db)
+        pred = np.asarray(pred)
+        pc1 = np.asarray(batch["pc1"])
+        pc2 = np.asarray(batch["pc2"])
+        sf = np.asarray(batch["sf"])
+        valid = np.asarray(batch["valid1"])
+
+        epe3d, acc3ds, acc3dr, outl = evaluate_3d(pred, sf, valid)
+        flow_pred, flow_gt = get_batch_2d_flow(
+            pc1, pc1 + sf, pc1 + pred, batch["path"],
+            calib_root=args.get_or("calib_root", None))
+        epe2d, acc2d = evaluate_2d(flow_pred, flow_gt, valid)
+
+        for key, val in zip(("epe3d", "acc3ds", "acc3dr", "outliers",
+                             "epe2d", "acc2d"),
+                            (epe3d, acc3ds, acc3dr, outl, epe2d, acc2d)):
+            meters[key].update(val)
+
+        if i % args.get_or("print_freq", 50) == 0:
+            logger.log(
+                f"Test: [{i + 1}/{len(val_loader)}]\t"
+                f"EPE3D {meters['epe3d'].val:.4f} ({meters['epe3d'].avg:.4f})\t"
+                f"ACC3DS {meters['acc3ds'].avg:.4f}\t"
+                f"ACC3DR {meters['acc3dr'].avg:.4f}\t"
+                f"Outliers3D {meters['outliers'].avg:.4f}\t"
+                f"EPE2D {meters['epe2d'].avg:.4f}\t"
+                f"ACC2D {meters['acc2d'].avg:.4f}")
+
+        if dump_visu:
+            np.save(osp.join(save_dir, f"pc1_{i}.npy"), pc1)
+            np.save(osp.join(save_dir, f"sf_{i}.npy"), sf)
+            np.save(osp.join(save_dir, f"output_{i}.npy"), pred)
+            np.save(osp.join(save_dir, f"pc2_{i}.npy"), pc2)
+            epe3d_list.append(epe3d)
+            path_list.extend(batch["path"])
+
+    if path_list:
+        np.save(osp.join(save_dir, "epe3d_per_frame.npy"),
+                np.array(epe3d_list))
+        with open(osp.join(save_dir, "sample_path_list.pickle"), "wb") as fd:
+            pickle.dump(path_list, fd)
+
+    res = (f" * EPE3D {meters['epe3d'].avg:.4f}\t"
+           f"ACC3DS {meters['acc3ds'].avg:.4f}\t"
+           f"ACC3DR {meters['acc3dr'].avg:.4f}\t"
+           f"Outliers3D {meters['outliers'].avg:.4f}\t"
+           f"EPE2D {meters['epe2d'].avg:.4f}\t"
+           f"ACC2D {meters['acc2d'].avg:.4f}")
+    logger.log(res)
+    return {k: m.avg for k, m in meters.items()}
+
+
+def run(args):
+    """Entry: train or evaluate per the config (reference main.py:26-200)."""
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    logger = Logger(osp.join(args.ckpt_dir, "log"))
+    for k in sorted(args):
+        logger.log(f"{k:24s} {args[k]}")
+    logger.log("")
+    logger.log(f"jax devices: {jax.devices()}")
+
+    built = build_everything(args, logger)
+    model, spec, params = built["model"], built["spec"], built["params"]
+    ckpt = CheckpointIO(args.ckpt_dir)
+
+    if args.evaluate:
+        template_state = None
+        if isinstance(args.resume, str) and args.resume not in ("True",):
+            io = CheckpointIO(args.resume) if osp.isdir(args.resume) else ckpt
+        else:
+            io = ckpt
+        init_state, _ = make_train_step(model, spec, args.get_or("lr", 1e-4))
+        template_state = jax.device_get(init_state(params))
+        state, epoch, _ = io.restore(
+            jax.tree_util.tree_map(np.zeros_like, template_state))
+        logger.log(f"=> loaded checkpoint (epoch {epoch})")
+        metrics = evaluate(args, model, spec, state.params,
+                           built["val_loader"], logger,
+                           dump_visu=bool(args.get_or("dump_visu", False)))
+        logger.close()
+        return metrics
+
+    # ---------------- training ----------------
+    lr_fn = make_lr_schedule(args)
+    init_state, train_step = make_train_step(model, spec, args.lr)
+    eval_step = make_eval_step(model, spec)
+    state = init_state(params)
+    start_epoch = 0
+    min_val = None
+
+    if args.get_or("resume", False) and ckpt.exists():
+        template = jax.tree_util.tree_map(np.zeros_like,
+                                          jax.device_get(state))
+        state, start_epoch, min_val = ckpt.restore(template)
+        logger.log(f"=> resumed from epoch {start_epoch}")
+        if not np.isfinite(min_val):
+            min_val = None
+
+    for epoch in range(start_epoch, args.epochs):
+        lr = lr_fn(epoch)
+        state = set_learning_rate(state, lr)
+        logger.log(f"lr: {lr}")
+
+        # train epoch
+        meter = AverageMeter()
+        t0 = time.time()
+        for i, batch in enumerate(built["train_loader"]):
+            state, loss = train_step(state, _device_batch(batch))
+            meter.update(float(loss), len(batch["path"]))
+            if i % args.get_or("print_freq", 50) == 0:
+                rate = meter.count / max(time.time() - t0, 1e-9)
+                logger.log(f"Epoch: [{epoch + 1}][{i + 1}/"
+                           f"{len(built['train_loader'])}]\t"
+                           f"EPE3D Loss {meter.val:.4f} ({meter.avg:.4f})\t"
+                           f"{rate:.2f} pairs/s")
+        logger.log(f" * Train EPE3D {meter.avg:.4f}")
+
+        # validate
+        vmeter = AverageMeter()
+        for batch in built["val_loader"]:
+            loss, _ = eval_step(state.params, _device_batch(batch))
+            vmeter.update(float(loss), len(batch["path"]))
+        logger.log(f" * Val EPE3D {vmeter.avg:.4f}")
+
+        is_best = min_val is None or vmeter.avg < min_val
+        if is_best:
+            min_val = vmeter.avg
+            logger.log("New min val loss!")
+        ckpt.save(state, epoch + 1, min_val, is_best=is_best)
+
+    logger.close()
+    return {"min_val_epe3d": min_val}

@@ -1,0 +1,95 @@
+"""Jitted train/eval steps: batched lattice build + forward + Adam update.
+
+One ``jax.jit`` covers the whole step — lattice pyramid, model, loss,
+backward, optimizer — unlike the reference where lattice construction runs
+in DataLoader worker processes (SURVEY.md L2) and the GPU only sees index
+tensors.  Batch size > 1 is a vmap axis (the reference is limited to 1).
+
+The learning rate lives inside the optimizer state via
+``optax.inject_hyperparams`` so the reference's per-epoch LR switching
+(main.py:156) is a cheap state update, not a recompile.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..lattice import LatticeSpec, build_pyramid
+from ..models.losses import epe3d_loss
+
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_eval_step", "set_learning_rate"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(learning_rate: float = 1e-4) -> optax.GradientTransformation:
+    """Adam, weight decay 0 (reference: main.py:138-140)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+
+
+def create_train_state(params, learning_rate: float = 1e-4) -> TrainState:
+    tx = make_optimizer(learning_rate)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Overwrite the LR hyperparameter inside the optimizer state."""
+    opt_state = state.opt_state
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    opt_state = opt_state._replace(hyperparams=hp)
+    return state._replace(opt_state=opt_state)
+
+
+def _batched_loss(model, spec: LatticeSpec, params, batch):
+    """batch: dict with pc1, pc2 (B, N, d), sf (B, N, d), valid1/2 (B, N)."""
+    def single(pc1, pc2, valid1, valid2):
+        scales = build_pyramid(spec, pc1, pc2, valid1, valid2)
+        return model.apply(params, pc1, pc2, scales)
+
+    pred = jax.vmap(single)(batch["pc1"], batch["pc2"],
+                            batch["valid1"], batch["valid2"])
+    loss = epe3d_loss(pred, batch["sf"], batch["valid1"])
+    return loss, pred
+
+
+def make_train_step(model, spec: LatticeSpec, learning_rate: float = 1e-4):
+    """Returns (state_factory, step_fn); step_fn is donated + jitted."""
+    tx = make_optimizer(learning_rate)
+
+    def init_state(params) -> TrainState:
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    def train_step(state: TrainState, batch):
+        def loss_fn(p):
+            loss, _ = _batched_loss(model, spec, p, batch)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    return init_state, jax.jit(train_step, donate_argnums=0)
+
+
+def make_eval_step(model, spec: LatticeSpec):
+    """Jitted forward + per-batch loss (no update)."""
+
+    def eval_step(params, batch):
+        loss, pred = _batched_loss(model, spec, params, batch)
+        return loss, pred
+
+    return jax.jit(eval_step)

@@ -1,0 +1,85 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hplflownet_tpu.models import HPLFlowNetShallow
+from hplflownet_tpu.pipeline import make_lattice_spec, flow_forward
+from hplflownet_tpu.lattice import build_pyramid
+from hplflownet_tpu.parallel import (
+    make_mesh, make_dp_train_step, shard_batch, lattice_sharded_forward)
+from hplflownet_tpu.train.step import make_train_step
+
+SFM5 = [[1.0, 1, 1, 1], [0.5, 1, 1, 1], [0.25, 1, 1, 1],
+        [0.125, 1, 1, 1], [0.0625, 1, 1, 1]]
+
+
+def setup(b=8, n=48, seed=0):
+    rng = np.random.RandomState(seed)
+    pc1 = rng.randn(b, n, 3).astype(np.float32) * 2.0
+    pc2 = pc1 + 0.05 * rng.randn(b, n, 3).astype(np.float32)
+    batch = {
+        "pc1": pc1, "pc2": pc2, "sf": pc2 - pc1,
+        "valid1": np.ones((b, n), bool), "valid2": np.ones((b, n), bool),
+    }
+    spec = make_lattice_spec(SFM5, capacities=[256, 256, 256, 128, 128])
+    model = HPLFlowNetShallow(scales_filter_map=SFM5)
+    scales = build_pyramid(spec, jnp.asarray(pc1[0]), jnp.asarray(pc2[0]))
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(pc1[0]),
+                        jnp.asarray(pc2[0]), scales)
+    return model, spec, params, batch
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_dp_step_matches_single_device():
+    model, spec, params, batch = setup()
+    mesh = make_mesh(axis_names=("data",))
+
+    params_copy = jax.tree_util.tree_map(np.asarray, params)
+
+    init_dp, dp_step = make_dp_train_step(model, spec, mesh,
+                                          learning_rate=1e-3)
+    state_dp = init_dp(params)
+    sharded = shard_batch(batch, mesh)
+    state_dp, loss_dp = dp_step(state_dp, sharded)
+
+    init_1, step_1 = make_train_step(model, spec, learning_rate=1e-3)
+    state_1 = init_1(jax.tree_util.tree_map(jnp.asarray, params_copy))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state_1, loss_1 = step_1(state_1, jbatch)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_1), rtol=1e-5)
+    # cross-device psum reduction order differs from the single-device sum
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(state_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_lattice_sharded_forward_matches_unsharded():
+    model, spec, params, batch = setup(b=1, n=64, seed=3)
+    pc1 = jnp.asarray(batch["pc1"][0])
+    pc2 = jnp.asarray(batch["pc2"][0])
+
+    mesh = make_mesh(axis_names=("lattice",))
+    fwd = lattice_sharded_forward(model, spec, mesh)
+    out_sharded = fwd(params, pc1, pc2)
+    out_plain = flow_forward(model, params, spec, pc1, pc2)
+    np.testing.assert_allclose(np.asarray(out_sharded),
+                               np.asarray(out_plain), atol=1e-4)
+
+
+def test_two_axis_mesh_dp_plus_lattice_compiles():
+    """(4 data x 2 lattice) mesh: DP step with vertex constraints compiles."""
+    model, spec, params, batch = setup(b=4)
+    mesh = make_mesh((4, 2), axis_names=("data", "lattice"))
+    init_dp, dp_step = make_dp_train_step(model, spec, mesh,
+                                          learning_rate=1e-3)
+    state = init_dp(params)
+    sharded = shard_batch(batch, mesh)
+    state, loss = dp_step(state, sharded)
+    assert np.isfinite(float(loss))
