@@ -9,9 +9,14 @@ Baseline: the reference publishes no throughput; the north-star target is
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 NUM_POINTS = 8192
 BATCH = 4
@@ -51,6 +56,7 @@ def synthetic_frustum_clouds(batch, n, seed=0):
 
 def measure_capacities(spec_rows, pc1, pc2, slack=1.25, align=256):
     """Probe true per-scale vertex counts, return padded static capacities."""
+    import jax
     import jax.numpy as jnp
     from hplflownet_tpu.pipeline import make_lattice_spec
     from hplflownet_tpu.lattice import build_pyramid
@@ -58,33 +64,51 @@ def measure_capacities(spec_rows, pc1, pc2, slack=1.25, align=256):
     n = pc1.shape[1]
     generous = [4 * n] * 3 + [2 * n] * 2 + [n] * (len(spec_rows) - 5)
     spec = make_lattice_spec(spec_rows, capacities=generous)
-    worst = [0] * len(spec_rows)
-    for b in range(pc1.shape[0]):
-        scales = build_pyramid(spec, jnp.asarray(pc1[b]), jnp.asarray(pc2[b]))
-        for i, sp in enumerate(scales):
-            worst[i] = max(worst[i],
-                           int(sp.pc1_num_valid), int(sp.pc2_num_valid))
-            assert int(sp.pc1_overflow) == 0 and int(sp.pc2_overflow) == 0
+
+    @jax.jit
+    def counts(a, b):
+        def single(x, y):
+            scales = build_pyramid(spec, x, y)
+            return ([jnp.maximum(sp.pc1_num_valid, sp.pc2_num_valid)
+                     for sp in scales],
+                    [jnp.maximum(sp.pc1_overflow, sp.pc2_overflow)
+                     for sp in scales])
+        return jax.vmap(single)(a, b)
+
+    per_scale, overflow = counts(jnp.asarray(pc1), jnp.asarray(pc2))
+    assert all(int(np.asarray(o).max()) == 0 for o in overflow)
+    worst = [int(np.asarray(c).max()) for c in per_scale]
+    _log(f"measured vertex counts: {worst}")
     return [int(-(-int(w * slack) // align) * align) for w in worst]
 
 
 def main():
     import jax
+
+    # persistent compile cache: first run pays XLA compilation, reruns don't
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     from hplflownet_tpu.models import HPLFlowNet
     from hplflownet_tpu.pipeline import make_lattice_spec, flow_forward
     from hplflownet_tpu.lattice import build_pyramid
 
+    t = time.perf_counter()
     pc1, pc2 = synthetic_frustum_clouds(BATCH, NUM_POINTS)
     caps = measure_capacities(SFM7, pc1, pc2)
+    _log(f"capacities {caps} (measured in {time.perf_counter() - t:.1f}s)")
 
     spec = make_lattice_spec(SFM7, capacities=caps)
     model = HPLFlowNet(scales_filter_map=SFM7)
 
+    t = time.perf_counter()
     j1 = jnp.asarray(pc1[0])
     j2 = jnp.asarray(pc2[0])
-    scales = build_pyramid(spec, j1, j2)
+    scales = jax.jit(lambda a, b: build_pyramid(spec, a, b))(j1, j2)
     params = model.init(jax.random.PRNGKey(0), j1, j2, scales)
+    _log(f"init done in {time.perf_counter() - t:.1f}s")
 
     @jax.jit
     def fwd(params, a, b):
@@ -94,7 +118,9 @@ def main():
 
     a = jnp.asarray(pc1)
     b = jnp.asarray(pc2)
+    t = time.perf_counter()
     fwd(params, a, b).block_until_ready()
+    _log(f"forward compile+first-run in {time.perf_counter() - t:.1f}s")
     for _ in range(WARMUP):
         fwd(params, a, b).block_until_ready()
 

@@ -212,9 +212,20 @@ def build_cloud_lattice(
     scale: float,
     capacity: int,
 ) -> CloudLattice:
-    """Assign points to lattice vertices and build the dense-id vertex table."""
-    d, d1 = geom.d, geom.d1
-    kb = geom.keys_and_barycentric(points, scale)
+    """Assign (metric) points to lattice vertices; see _build_from_elevated."""
+    return _build_from_elevated(geom, geom.elevate(points, scale),
+                                valid, capacity)
+
+
+def _build_from_elevated(
+    geom: PermutohedralGeometry,
+    elevated: jax.Array,     # (N, d1) float32
+    valid: jax.Array,        # (N,) bool
+    capacity: int,
+) -> CloudLattice:
+    """Build the dense-id vertex table from elevated coordinates."""
+    d = geom.d
+    kb = geom.simplex_from_elevated(elevated)
 
     hi, lo = _pack_keys(kb.keys, d)                        # (N, d1)
     hi = jnp.where(valid[:, None], hi, _SENTINEL)
@@ -289,12 +300,22 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
     return pc1_corr, pc2_corr
 
 
-def _next_points(geom: PermutohedralGeometry, cl: CloudLattice, scale: float):
-    """Un-elevate lattice vertices into the next scale's (metric) points."""
+def _next_elevated(geom: PermutohedralGeometry, cl: CloudLattice,
+                   scale: float, next_scale: float):
+    """Next scale's elevated coordinates, directly from the vertex keys.
+
+    Mathematically identical to the reference's un-elevate -> re-elevate
+    roundtrip (transforms.py:461-469) — the keys lie on the ``sum == 0``
+    hyperplane where elevation is the inverse of un-elevation — but computed
+    as a single *elementwise* product ``key * (next_scale / scale)``.  That
+    keeps deeper scales bit-deterministic: vertex-derived points sit exactly
+    on rounding-tie boundaries, and a matmul roundtrip would let compiler
+    fusion choices flip those ties.
+    """
     keys = _unpack_keys(cl.vkeys_hi, cl.vkeys_lo, geom.d)  # (H, d1)
     keys = jnp.where(cl.vertex_valid[:, None], keys, 0)
-    pts = geom.unelevate(keys, scale)                      # (H, d)
-    return pts, cl.vertex_valid
+    ratio = jnp.float32(next_scale) / jnp.float32(scale)
+    return keys.astype(jnp.float32) * ratio, cl.vertex_valid
 
 
 # ---------------------------------------------------------------------------
@@ -321,11 +342,16 @@ def build_pyramid(
     if valid2 is None:
         valid2 = jnp.ones(pc2.shape[0], dtype=bool)
 
-    pts1, pts2 = pc1, pc2
+    # scale 0 elevates the metric points; deeper scales derive elevated
+    # coords elementwise from the previous scale's vertex keys (deterministic
+    # under any compiler fusion — see _next_elevated)
+    elev1 = geom.elevate(pc1, spec.scales[0].scale)
+    elev2 = geom.elevate(pc2, spec.scales[0].scale)
+
     scales_out = []
-    for ss in spec.scales:
-        cl1 = build_cloud_lattice(geom, pts1, valid1, ss.scale, ss.capacity)
-        cl2 = build_cloud_lattice(geom, pts2, valid2, ss.scale, ss.capacity)
+    for i, ss in enumerate(spec.scales):
+        cl1 = _build_from_elevated(geom, elev1, valid1, ss.capacity)
+        cl2 = _build_from_elevated(geom, elev2, valid2, ss.capacity)
 
         if ss.blur_radius != -1:
             offs = neighborhood_offsets(ss.blur_radius, spec.d)
@@ -360,8 +386,10 @@ def build_pyramid(
             pc2_overflow=cl2.overflow,
         ))
 
-        pts1, valid1 = _next_points(geom, cl1, ss.scale)
-        pts2, valid2 = _next_points(geom, cl2, ss.scale)
+        if i + 1 < len(spec.scales):
+            next_scale = spec.scales[i + 1].scale
+            elev1, valid1 = _next_elevated(geom, cl1, ss.scale, next_scale)
+            elev2, valid2 = _next_elevated(geom, cl2, ss.scale, next_scale)
 
     return scales_out
 

@@ -108,11 +108,21 @@ class PermutohedralGeometry:
         Behavior-parity target: reference :300-353 (validated against a numpy
         oracle in tests/oracle/lattice_oracle.py).
         """
-        d, d1 = self.d, self.d1
-        num_points = points.shape[0]
-        rows = jnp.arange(num_points, dtype=jnp.int32)[:, None]
+        return self.simplex_from_elevated(self.elevate(points, scale))
 
-        elevated = self.elevate(points, scale)                       # (N, d1)
+    def simplex_from_elevated(self, elevated: jax.Array) -> KeysBarycentric:
+        """Simplex assignment from already-elevated (N, d1) coordinates.
+
+        Splitting elevation out matters for determinism: deeper pyramid
+        scales derive their elevated coords *elementwise* from integer keys
+        (``key * scale_ratio``), never through a float matmul whose reduction
+        order could flip rounding ties (the reference's un-elevate/re-elevate
+        roundtrip at transforms.py:461-469 is tie-unstable in exactly this
+        way).
+        """
+        d, d1 = self.d, self.d1
+        num_points = elevated.shape[0]
+        rows = jnp.arange(num_points, dtype=jnp.int32)[:, None]
         greedy = jnp.round(elevated / d1) * d1                        # nearest remainder-0
         el_minus_gr = elevated - greedy
 

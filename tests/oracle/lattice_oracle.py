@@ -40,7 +40,12 @@ def keys_and_barycentric_np(points: np.ndarray, scale: float, d: int = 3):
 
     elevated = (points.astype(np.float32) * np.float32(scale)) @ E.T.astype(np.float32)
     elevated = elevated * expected_std                                 # (N, d1)
+    return simplex_from_elevated_np(elevated, d)
 
+
+def simplex_from_elevated_np(elevated: np.ndarray, d: int = 3):
+    d1 = d + 1
+    elevated = elevated.astype(np.float32)
     greedy = np.round(elevated / d1) * d1
     el_minus_gr = elevated - greedy
 
@@ -63,7 +68,7 @@ def keys_and_barycentric_np(points: np.ndarray, scale: float, d: int = 3):
 
     el_minus_gr = elevated - greedy
 
-    n = points.shape[0]
+    n = elevated.shape[0]
     rows = np.arange(n)[:, None]
     bary = np.zeros((n, d1 + 1), dtype=np.float32)
     np.add.at(bary, (rows, d - rank), el_minus_gr)
