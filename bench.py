@@ -4,6 +4,14 @@ Measures 8192-point pairs/sec through the full pipeline — on-device lattice
 pyramid construction + HPLFlowNet forward — matching the reference's eval
 protocol (8192 points, full model).  Prints one JSON line.
 
+Timing protocol: the TPU tunnel in this environment does not synchronize on
+``block_until_ready``, so K forward passes are chained *inside one jit*
+through a visible input perturbation (points shifted by 1e-3 x the previous
+flow — not hoistable, numerically representable) and the marginal time
+between two chain lengths is reported.  Capacities are fixed constants
+(measured on the synthetic distribution via --measure) so the persistent
+compile cache hits across runs.
+
 Baseline: the reference publishes no throughput; the north-star target is
 >= 50 pairs/sec/chip (BASELINE.md), so vs_baseline = pairs_per_sec / 50.
 """
@@ -14,19 +22,21 @@ import time
 
 import numpy as np
 
-
-def _log(msg):
-    print(msg, file=sys.stderr, flush=True)
-
 NUM_POINTS = 8192
 BATCH = 4
-WARMUP = 3
-ITERS = 20
 TARGET = 50.0  # pairs/sec/chip north star (BASELINE.md)
 
 SFM7 = [[3.0, 1, -1, -1], [2.0, 1, -1, -1], [1.0, 1, 1, 1],
         [0.5, 1, 1, 1], [0.25, 1, 1, 1], [0.125, 1, 1, 1],
         [0.0625, 1, 1, 1]]
+
+# measured on synthetic_frustum_clouds via `python bench.py --measure`,
+# padded ~1.15x and aligned to 256 (worst counts: 23k/28.4k/11.5k/3.2k/...)
+CAPACITIES = [26624, 32768, 13312, 4096, 1024, 512, 256]
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def synthetic_frustum_clouds(batch, n, seed=0):
@@ -54,7 +64,7 @@ def synthetic_frustum_clouds(batch, n, seed=0):
     return np.stack(out1), np.stack(out2)
 
 
-def measure_capacities(spec_rows, pc1, pc2, slack=1.25, align=256):
+def measure_capacities(spec_rows, pc1, pc2, slack=1.15, align=256):
     """Probe true per-scale vertex counts, return padded static capacities."""
     import jax
     import jax.numpy as jnp
@@ -86,8 +96,7 @@ def main():
     import jax
 
     # persistent compile cache: first run pays XLA compilation, reruns don't
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
@@ -95,42 +104,46 @@ def main():
     from hplflownet_tpu.pipeline import make_lattice_spec, flow_forward
     from hplflownet_tpu.lattice import build_pyramid
 
-    t = time.perf_counter()
     pc1, pc2 = synthetic_frustum_clouds(BATCH, NUM_POINTS)
-    caps = measure_capacities(SFM7, pc1, pc2)
-    _log(f"capacities {caps} (measured in {time.perf_counter() - t:.1f}s)")
+    if "--measure" in sys.argv:
+        caps = measure_capacities(SFM7, pc1, pc2)
+        _log(f"capacities: {caps}")
+    else:
+        caps = CAPACITIES
 
     spec = make_lattice_spec(SFM7, capacities=caps)
     model = HPLFlowNet(scales_filter_map=SFM7)
 
+    a, b = jnp.asarray(pc1), jnp.asarray(pc2)
     t = time.perf_counter()
-    j1 = jnp.asarray(pc1[0])
-    j2 = jnp.asarray(pc2[0])
-    scales = jax.jit(lambda a, b: build_pyramid(spec, a, b))(j1, j2)
-    params = model.init(jax.random.PRNGKey(0), j1, j2, scales)
-    _log(f"init done in {time.perf_counter() - t:.1f}s")
+    scales = jax.jit(lambda x, y: build_pyramid(spec, x, y))(a[0], b[0])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), a[0], b[0], scales)
+    _log(f"init in {time.perf_counter() - t:.1f}s")
 
     @jax.jit
-    def fwd(params, a, b):
+    def chained(params, a, b, iters):
         def single(x, y):
             return flow_forward(model, params, spec, x, y)
-        return jax.vmap(single)(a, b)
 
-    a = jnp.asarray(pc1)
-    b = jnp.asarray(pc2)
+        def body(i, carry):
+            # visible (representable) feedback so no iteration can be hoisted
+            return jax.vmap(single)(a + carry * 1e-3, b)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(a))
+
     t = time.perf_counter()
-    fwd(params, a, b).block_until_ready()
-    _log(f"forward compile+first-run in {time.perf_counter() - t:.1f}s")
-    for _ in range(WARMUP):
-        fwd(params, a, b).block_until_ready()
+    np.asarray(chained(params, a, b, 1))
+    _log(f"compile+first chain in {time.perf_counter() - t:.1f}s")
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(params, a, b)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    times = {}
+    for iters in (1, 5, 13):
+        t = time.perf_counter()
+        np.asarray(chained(params, a, b, iters))
+        times[iters] = time.perf_counter() - t
+        _log(f"iters={iters}: {times[iters]:.3f}s")
 
-    pairs_per_sec = BATCH * ITERS / dt
+    per_batch = (times[13] - times[5]) / 8
+    pairs_per_sec = BATCH / per_batch
     print(json.dumps({
         "metric": "pairs_per_sec",
         "value": round(pairs_per_sec, 3),

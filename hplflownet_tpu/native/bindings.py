@@ -134,7 +134,7 @@ class HostLatticeBuilder:
                        offsets: np.ndarray) -> np.ndarray:
         deltas = np.ascontiguousarray(pack_deltas_i64(offsets, self.d))
         cap, f = unique.size, deltas.size
-        out = np.empty((cap, f), dtype=np.int32)
+        out = np.empty((f, cap), dtype=np.int32)   # stencil-major
         self.lib.hpl_neighbor_table(
             _ll_ptr(unique), cap, num_valid, SENTINEL,
             _ll_ptr(deltas), f, _i_ptr(out))
@@ -145,8 +145,8 @@ class HostLatticeBuilder:
         fd = np.ascontiguousarray(pack_deltas_i64(filter_offsets, self.d))
         cd = np.ascontiguousarray(pack_deltas_i64(corr_offsets, self.d))
         cap1 = unique1.size
-        pc1 = np.empty((cap1, cd.size), dtype=np.int32)
-        pc2 = np.empty((fd.size, cap1, cd.size), dtype=np.int32)
+        pc1 = np.empty((cd.size, cap1), dtype=np.int32)   # stencil-major
+        pc2 = np.empty((fd.size, cd.size, cap1), dtype=np.int32)
         self.lib.hpl_corr_tables(
             _ll_ptr(unique1), cap1, n1,
             _ll_ptr(unique2), unique2.size, n2, SENTINEL,

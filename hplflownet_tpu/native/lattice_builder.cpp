@@ -59,8 +59,8 @@ long long hpl_build_cloud(const long long* keys, long long n_entries,
     return h;
 }
 
-// Probe table: out[i*f + j] = id of (unique[i] + deltas[j]), -1 if absent.
-// Sentinel-padded rows yield -1 everywhere.
+// Probe table, stencil-major like the device path: out[j*capacity + i] =
+// id of (unique[i] + deltas[j]), -1 if absent.  Sentinel rows yield -1.
 void hpl_neighbor_table(const long long* unique, long long capacity,
                         long long num_valid, long long sentinel,
                         const long long* deltas, long long f,
@@ -69,18 +69,18 @@ void hpl_neighbor_table(const long long* unique, long long capacity,
     for (long long i = 0; i < capacity; ++i) {
         const bool valid = i < num_valid && unique[i] != sentinel;
         for (long long j = 0; j < f; ++j) {
-            if (!valid) { out[i * f + j] = -1; continue; }
+            if (!valid) { out[j * capacity + i] = -1; continue; }
             const long long q = unique[i] + deltas[j];
             const long long* it = std::lower_bound(unique, end, q);
-            out[i * f + j] = (it != end && *it == q)
-                                 ? static_cast<int>(it - unique) : -1;
+            out[j * capacity + i] = (it != end && *it == q)
+                                        ? static_cast<int>(it - unique) : -1;
         }
     }
 }
 
 // Correlation tables (reference semantics, transforms.py:223-241):
-//   pc1_out [h1_cap * cc]      id of (key1 + corr_delta) in table 1
-//   pc2_out [f * h1_cap * cc]  id of (key1 + corr_delta + filt_delta) in table 2
+//   pc1_out [cc * cap1]      pc1_out[c*cap1 + i] = id of (key1[i] + corr[c])
+//   pc2_out [f * cc * cap1]  pc2_out[(j*cc + c)*cap1 + i] (stencil-major)
 void hpl_corr_tables(const long long* unique1, long long cap1, long long n1,
                      const long long* unique2, long long cap2, long long n2,
                      long long sentinel,
@@ -93,19 +93,19 @@ void hpl_corr_tables(const long long* unique1, long long cap1, long long n1,
         const bool valid = i < n1 && unique1[i] != sentinel;
         for (long long c = 0; c < cc; ++c) {
             if (!valid) {
-                pc1_out[i * cc + c] = -1;
+                pc1_out[c * cap1 + i] = -1;
                 for (long long j = 0; j < f; ++j)
-                    pc2_out[(j * cap1 + i) * cc + c] = -1;
+                    pc2_out[(j * cc + c) * cap1 + i] = -1;
                 continue;
             }
             const long long center = unique1[i] + corr_deltas[c];
             const long long* it1 = std::lower_bound(unique1, end1, center);
-            pc1_out[i * cc + c] = (it1 != end1 && *it1 == center)
+            pc1_out[c * cap1 + i] = (it1 != end1 && *it1 == center)
                                       ? static_cast<int>(it1 - unique1) : -1;
             for (long long j = 0; j < f; ++j) {
                 const long long q = center + filt_deltas[j];
                 const long long* it2 = std::lower_bound(unique2, end2, q);
-                pc2_out[(j * cap1 + i) * cc + c] =
+                pc2_out[(j * cc + c) * cap1 + i] =
                     (it2 != end2 && *it2 == q)
                         ? static_cast<int>(it2 - unique2) : -1;
             }

@@ -93,12 +93,12 @@ def splat(
 
 def blur_matmul(
     splatted_pad: jax.Array,   # (H+1, C_in), row 0 = zero sentinel
-    neighbors: jax.Array,      # (H, F) int32, -1 = absent
+    neighbors: jax.Array,      # (F, H) int32, -1 = absent
     kernel: jax.Array,         # (F, C_in, C_out)
     bias: jax.Array,           # (C_out,)
 ) -> jax.Array:
     """Stencil convolution over the lattice as F gather+matmul steps."""
-    capacity = neighbors.shape[0]
+    capacity = neighbors.shape[1]
     out_dim = kernel.shape[-1]
 
     def step(acc, inputs):
@@ -108,7 +108,7 @@ def blur_matmul(
                              preferred_element_type=jnp.float32), None
 
     acc0 = jnp.broadcast_to(bias.astype(jnp.float32), (capacity, out_dim))
-    acc, _ = jax.lax.scan(step, acc0, (neighbors.T, kernel))
+    acc, _ = jax.lax.scan(step, acc0, (neighbors, kernel))
     return _constrain_vertices(acc)
 
 
@@ -147,11 +147,11 @@ class BilateralConv(nn.Module):
         features: jax.Array,               # (N_in, C) if do_splat else (H, C)
         in_barycentric: jax.Array | None = None,
         in_lattice_offset: jax.Array | None = None,
-        blur_neighbors: jax.Array | None = None,   # (H, F)
+        blur_neighbors: jax.Array | None = None,   # (F, H)
         out_barycentric: jax.Array | None = None,
         out_lattice_offset: jax.Array | None = None,
     ) -> jax.Array:
-        capacity = blur_neighbors.shape[0]
+        capacity = blur_neighbors.shape[1]
         act = _activation(self.use_leaky)
         num_input = features.shape[-1]
 

@@ -58,8 +58,8 @@ class BilateralCorrelation(nn.Module):
         prev_corr_feat: jax.Array | None,     # (N_in, prev) finer-scale output
         barycentric1: jax.Array | None,       # (N_in, d1)
         lattice_offset1: jax.Array | None,    # (N_in, d1)
-        pc1_corr_indices: jax.Array,          # (H1, Cc)
-        pc2_corr_indices: jax.Array,          # (F, H1, Cc)
+        pc1_corr_indices: jax.Array,          # (Cc, H1)
+        pc2_corr_indices: jax.Array,          # (F, Cc, H1)
     ) -> jax.Array:
         h1, num_input = feat1.shape
         act = _activation(self.use_leaky)
@@ -89,8 +89,8 @@ class BilateralCorrelation(nn.Module):
         k_self = corr_kernel[:, :self_dim, :]
         k_cross = corr_kernel[:, self_dim:, :]
 
-        spread1 = combined1[pc1_corr_indices + 1]          # (H1, Cc, self_dim)
-        a_self = jnp.einsum("hkc,kco->ho", spread1, k_self,
+        spread1 = combined1[pc1_corr_indices + 1]          # (Cc, H1, self_dim)
+        a_self = jnp.einsum("khc,kco->ho", spread1, k_self,
                             preferred_element_type=jnp.float32) + corr_bias
 
         extra = []
@@ -102,8 +102,8 @@ class BilateralCorrelation(nn.Module):
             extra.append((k, b))
 
         def per_displacement(_, idx_f):
-            sp2 = pad2[idx_f + 1]                          # (H1, Cc, C)
-            y = act(a_self + jnp.einsum("hkc,kco->ho", sp2, k_cross,
+            sp2 = pad2[idx_f + 1]                          # (Cc, H1, C)
+            y = act(a_self + jnp.einsum("khc,kco->ho", sp2, k_cross,
                                         preferred_element_type=jnp.float32))
             for k, b in extra:
                 y = act(jnp.dot(y, k, preferred_element_type=jnp.float32) + b)

@@ -106,20 +106,20 @@ def test_single_scale_tables_match_oracle():
     perm2 = recover_perm(tab["pc2_lattice_offset"],
                          np.asarray(sp.pc2_lattice_offset), len(tab["pc2_keys"]))
 
-    # blur neighbors: ours (H, F) vertex-major; oracle (h, F) in oracle ids
+    # blur neighbors: ours (F, H) stencil-major; oracle (h, F) in oracle ids
     np.testing.assert_array_equal(
-        np.asarray(sp.pc1_blur_neighbors)[perm],
+        np.asarray(sp.pc1_blur_neighbors)[:, perm].T,
         _map_ids(perm, tab["pc1_blur_neighbors"]))
     np.testing.assert_array_equal(
-        np.asarray(sp.pc2_blur_neighbors)[perm2],
+        np.asarray(sp.pc2_blur_neighbors)[:, perm2].T,
         _map_ids(perm2, tab["pc2_blur_neighbors"]))
 
-    # correlation tables
+    # correlation tables: ours (Cc, H1) and (F, Cc, H1)
     np.testing.assert_array_equal(
-        np.asarray(sp.pc1_corr_indices)[perm],
+        np.asarray(sp.pc1_corr_indices)[:, perm].T,
         _map_ids(perm, tab["pc1_corr_indices"]))
     np.testing.assert_array_equal(
-        np.asarray(sp.pc2_corr_indices)[:, perm, :],
+        np.asarray(sp.pc2_corr_indices)[:, :, perm].transpose(0, 2, 1),
         _map_ids(perm2, tab["pc2_corr_indices"]))
 
     np.testing.assert_allclose(
@@ -172,12 +172,12 @@ def test_pyramid_chain_exact_parity():
         assert int(np.asarray(sp.pc2_overflow)) == 0
         n1 = int(np.asarray(sp.pc1_num_valid))
 
-        nb1 = np.asarray(sp.pc1_blur_neighbors)
+        nb1 = np.asarray(sp.pc1_blur_neighbors)   # (F, H)
         assert nb1.max() < 4096 and nb1.min() >= -1
         # the zero-offset tap (first stencil row) maps each vertex to itself
-        valid_rows = np.where(nb1[:, 0] >= 0)[0]
-        np.testing.assert_array_equal(nb1[valid_rows, 0], valid_rows)
-        assert len(valid_rows) == n1
+        valid_cols = np.where(nb1[0] >= 0)[0]
+        np.testing.assert_array_equal(nb1[0, valid_cols], valid_cols)
+        assert len(valid_cols) == n1
 
     # exact chain count parity: oracle chain replays key*ratio elementwise
     counts = [int(np.asarray(sp.pc1_num_valid)) for sp in got]

@@ -24,7 +24,7 @@ def test_splat_matches_oracle_and_conserves_mass():
     sp, rng = make_scale()
     n = sp.pc1_barycentric.shape[0]
     feats = rng.randn(n, 8).astype(np.float32)
-    cap = sp.pc1_blur_neighbors.shape[0]
+    cap = sp.pc1_blur_neighbors.shape[1]
 
     got_raw = splat(jnp.asarray(feats), sp.pc1_barycentric,
                     sp.pc1_lattice_offset, cap, normalize=False)
@@ -47,7 +47,7 @@ def test_splat_matches_oracle_and_conserves_mass():
 
 def test_blur_matches_oracle_and_identity_filter():
     sp, rng = make_scale(seed=1)
-    cap = sp.pc1_blur_neighbors.shape[0]
+    cap = sp.pc1_blur_neighbors.shape[1]
     c_in, c_out = 6, 5
     splatted = rng.randn(cap + 1, c_in).astype(np.float32)
     splatted[0] = 0.0
@@ -56,7 +56,8 @@ def test_blur_matches_oracle_and_identity_filter():
 
     got = blur_matmul(jnp.asarray(splatted), sp.pc1_blur_neighbors,
                       jnp.asarray(kernel), jnp.asarray(bias))
-    want = oracle.blur_np(splatted, np.asarray(sp.pc1_blur_neighbors),
+    # oracle expects vertex-major (H, F) neighbors
+    want = oracle.blur_np(splatted, np.asarray(sp.pc1_blur_neighbors).T,
                           kernel, bias)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
@@ -66,14 +67,14 @@ def test_blur_matches_oracle_and_identity_filter():
     ident[0] = np.eye(c_in)
     got_id = np.asarray(blur_matmul(jnp.asarray(splatted), sp.pc1_blur_neighbors,
                                     jnp.asarray(ident), jnp.zeros(c_in)))
-    valid = np.asarray(sp.pc1_blur_neighbors)[:, 0] >= 0
+    valid = np.asarray(sp.pc1_blur_neighbors)[0] >= 0
     np.testing.assert_allclose(got_id[valid], splatted[1:][valid], atol=1e-5)
     np.testing.assert_allclose(got_id[~valid], 0.0, atol=1e-6)
 
 
 def test_slice_matches_oracle():
     sp, rng = make_scale(seed=2)
-    cap = sp.pc1_blur_neighbors.shape[0]
+    cap = sp.pc1_blur_neighbors.shape[1]
     blurred = rng.randn(cap, 7).astype(np.float32)
     got = slice_to_points(jnp.asarray(blurred), sp.pc1_barycentric,
                           sp.pc1_lattice_offset)
@@ -86,7 +87,7 @@ def test_splat_blur_slice_roundtrip_constant():
     """Splatting a constant field, identity blur, slicing back: constant."""
     sp, _ = make_scale(seed=3)
     n = sp.pc1_barycentric.shape[0]
-    cap = sp.pc1_blur_neighbors.shape[0]
+    cap = sp.pc1_blur_neighbors.shape[1]
     feats = jnp.ones((n, 4))
     # normalized splat of a constant field gives ~1 at every hit vertex
     sp_pad = splat(feats, sp.pc1_barycentric, sp.pc1_lattice_offset, cap)
@@ -98,7 +99,7 @@ def test_splat_blur_slice_roundtrip_constant():
 def test_bilateral_conv_module_matches_oracle():
     sp, rng = make_scale(seed=4)
     n = sp.pc1_barycentric.shape[0]
-    cap = sp.pc1_blur_neighbors.shape[0]
+    cap = sp.pc1_blur_neighbors.shape[1]
     feats = rng.randn(n, 10).astype(np.float32)
 
     mod = BilateralConv(widths=(12, 9), filter_size=15, do_splat=True,
@@ -119,7 +120,7 @@ def test_bilateral_conv_module_matches_oracle():
     p = params["params"]
     splatted = oracle.splat_np(feats, np.asarray(sp.pc1_barycentric),
                                np.asarray(sp.pc1_lattice_offset), cap)
-    x = oracle.blur_np(splatted, np.asarray(sp.pc1_blur_neighbors),
+    x = oracle.blur_np(splatted, np.asarray(sp.pc1_blur_neighbors).T,
                        np.asarray(p["conv0_kernel"]), np.asarray(p["conv0_bias"]))
     x = oracle.leaky(x)
     x = x @ np.asarray(p["conv1_kernel"]) + np.asarray(p["conv1_bias"])
@@ -131,7 +132,7 @@ def test_bilateral_conv_module_matches_oracle():
 
 def test_bilateral_correlation_matches_oracle():
     sp, rng = make_scale(seed=5, n=64, capacity=320)
-    cap = sp.pc1_blur_neighbors.shape[0]
+    cap = sp.pc1_blur_neighbors.shape[1]
     c = 6
     prev_dim = 3
     n_in = sp.pc1_barycentric.shape[0]
@@ -158,7 +159,8 @@ def test_bilateral_correlation_matches_oracle():
                                np.asarray(sp.pc1_lattice_offset), cap)
     want = oracle.corr_np(
         feat1, feat2, prev_pad,
-        np.asarray(sp.pc1_corr_indices), np.asarray(sp.pc2_corr_indices),
+        np.asarray(sp.pc1_corr_indices).T,
+        np.asarray(sp.pc2_corr_indices).transpose(0, 2, 1),
         np.asarray(p["corr0_kernel"]), np.asarray(p["corr0_bias"]),
         [(np.asarray(p["corr1_kernel"]), np.asarray(p["corr1_bias"]))],
         np.asarray(p["blur0_kernel"]), np.asarray(p["blur0_bias"]),
