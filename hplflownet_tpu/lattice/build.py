@@ -34,6 +34,7 @@ import numpy as np
 
 from .geometry import PermutohedralGeometry
 from .offsets import neighborhood_offsets
+from ..ops.segment import ReducePlan, make_reduce_plan, _searchsorted
 
 __all__ = [
     "ScaleSpec",
@@ -83,6 +84,8 @@ class CloudLattice(NamedTuple):
     vertex_valid: jax.Array     # (H,) bool
     num_valid: jax.Array        # () int32: true vertex count (min(count, H))
     overflow: jax.Array         # () int32: unique keys dropped past capacity
+    splat_plan: ReducePlan      # segment-sum plan over lattice_offset (free:
+                                # reuses the key sort, ids sorted == keys sorted)
 
 
 class ScalePair(NamedTuple):
@@ -103,6 +106,12 @@ class ScalePair(NamedTuple):
     pc2_num_valid: jax.Array       # () i32
     pc1_overflow: jax.Array        # () i32
     pc2_overflow: jax.Array        # () i32
+    # scatter-free adjoint plans (ops/segment.py):
+    pc1_splat_plan: ReducePlan     # lattice_offset1 -> H1 (splat fwd + slice bwd)
+    pc2_splat_plan: ReducePlan     # lattice_offset2 -> H2
+    pc1_corr_plan: ReducePlan      # pc1_corr_indices -> H1 (corr spread1 bwd)
+    pc2_corr_plan: ReducePlan      # per-tap plans, leaves stacked over F:
+                                   # pc2_corr_indices[f] -> H2 (spread2 bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +233,14 @@ def _build_from_elevated(
     valid: jax.Array,        # (N,) bool
     capacity: int,
 ) -> CloudLattice:
-    """Build the dense-id vertex table from elevated coordinates."""
+    """Build the dense-id vertex table from elevated coordinates.
+
+    Deliberately scatter-free: dense ids come from a rank cumsum over the
+    sorted keys, the vertex table from gathers at per-rank run starts
+    (binary search over the non-decreasing rank array), and the sort's
+    permutation payload doubles as the splat plan — XLA's TPU scatter path
+    is catastrophically slow to compile and run (see ops/segment.py).
+    """
     d = geom.d
     kb = geom.simplex_from_elevated(elevated)
 
@@ -232,7 +248,10 @@ def _build_from_elevated(
     hi = jnp.where(valid[:, None], hi, _SENTINEL)
     lo = jnp.where(valid[:, None], lo, _SENTINEL)
 
-    shi, slo = jax.lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+    m = hi.size
+    iota = jnp.arange(m, dtype=jnp.int32)
+    shi, slo, perm = jax.lax.sort(
+        (hi.reshape(-1), lo.reshape(-1), iota), num_keys=2)
     real = ~((shi == _SENTINEL) & (slo == _SENTINEL))
     is_new = jnp.ones(shi.shape, dtype=bool)
     is_new = is_new.at[1:].set((shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]))
@@ -242,19 +261,29 @@ def _build_from_elevated(
     num_unique = jnp.sum(is_new.astype(jnp.int32))
     overflow = jnp.maximum(num_unique - capacity, 0)
 
-    target = jnp.where(is_new & (ranks < capacity), ranks, capacity)
-    vhi = jnp.full((capacity,), _SENTINEL).at[target].set(shi, mode="drop")
-    vlo = jnp.full((capacity,), _SENTINEL).at[target].set(slo, mode="drop")
-    vertex_valid = vhi != _SENTINEL
+    # run boundaries per dense id: ranks is non-decreasing over real entries
+    ranks_m = jnp.where(real, ranks, jnp.int32(np.iinfo(np.int32).max))
+    targets = jnp.arange(capacity, dtype=jnp.int32)
+    vertex_start = _searchsorted(ranks_m, targets, "left")
+    vertex_end = _searchsorted(ranks_m, targets, "right")
+    vertex_valid = vertex_start < vertex_end
+
+    safe_start = jnp.clip(vertex_start, 0, m - 1)
+    vhi = jnp.where(vertex_valid, shi[safe_start], _SENTINEL)
+    vlo = jnp.where(vertex_valid, slo[safe_start], _SENTINEL)
 
     idx, found = _probe(vhi, vlo, hi, lo)                  # (N, d1)
-    lattice_offset = jnp.where(valid[:, None] & found, idx, -1)
+    lattice_offset = jnp.where(valid[:, None] & found, idx, -1).astype(jnp.int32)
 
     barycentric = jnp.where(valid[:, None], kb.barycentric, 0.0)
     el_minus_gr = jnp.where(valid[:, None], kb.el_minus_gr, 0.0)
 
+    # splat plan for free: sorted-by-key order == sorted-by-id order
+    splat_plan = ReducePlan(ids=lattice_offset.reshape(-1), perm=perm,
+                            start=vertex_start, end=vertex_end)
+
     return CloudLattice(
-        lattice_offset=lattice_offset.astype(jnp.int32),
+        lattice_offset=lattice_offset,
         barycentric=barycentric,
         el_minus_gr=el_minus_gr,
         vkeys_hi=vhi,
@@ -262,6 +291,7 @@ def _build_from_elevated(
         vertex_valid=vertex_valid,
         num_valid=jnp.minimum(num_unique, capacity).astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
+        splat_plan=splat_plan,
     )
 
 
@@ -276,28 +306,43 @@ def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int) -> jax.Array:
 
 
 def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
-                 filter_offsets: np.ndarray, corr_offsets: np.ndarray, d: int):
+                 filter_offsets: np.ndarray, corr_offsets: np.ndarray, d: int,
+                 pc1_corr: jax.Array | None = None):
     """Correlation index tables (reference semantics, transforms.py:223-241).
 
     pc1_corr[c, h]       = id of (key1[h] + corr_offsets[c]) in cloud-1 table
     pc2_corr[f, c, h]    = id of (key1[h] + corr_offsets[c] + filter_offsets[f])
                            in cloud-2 table
+
+    Pass ``pc1_corr`` to reuse an existing table (e.g. the blur-neighbor
+    table when the stencils coincide).
     """
-    chi, clo = _pack_deltas(corr_offsets, d)               # (Cc,)
-    fhi, flo = _pack_deltas(filter_offsets, d)             # (F,)
+    if pc1_corr is None:
+        chi, clo = _pack_deltas(corr_offsets, d)           # (Cc,)
+        center_hi = chi[:, None] + cl1.vkeys_hi[None, :]   # (Cc, H1)
+        center_lo = clo[:, None] + cl1.vkeys_lo[None, :]
+        idx1, found1 = _probe(cl1.vkeys_hi, cl1.vkeys_lo,
+                              center_hi, center_lo)
+        ok1 = found1 & cl1.vertex_valid[None, :]
+        pc1_corr = jnp.where(ok1, idx1, -1).astype(jnp.int32)
 
-    center_hi = chi[:, None] + cl1.vkeys_hi[None, :]       # (Cc, H1)
-    center_lo = clo[:, None] + cl1.vkeys_lo[None, :]
+    # the F x Cc combined offsets collapse heavily (225 -> 65 for the radius-1
+    # stencils): probe only the distinct combined offsets and remap — the
+    # binary-search probes dominate pyramid time, the remap is one gather
+    combined = (filter_offsets[:, None, :].astype(np.int64)
+                + corr_offsets[None, :, :]).reshape(-1, corr_offsets.shape[1])
+    uniq, inverse = np.unique(combined, axis=0, return_inverse=True)
+    uhi, ulo = _pack_deltas(uniq, d)                        # (U,)
 
-    idx1, found1 = _probe(cl1.vkeys_hi, cl1.vkeys_lo, center_hi, center_lo)
-    ok1 = found1 & cl1.vertex_valid[None, :]
-    pc1_corr = jnp.where(ok1, idx1, -1).astype(jnp.int32)
+    qhi = uhi[:, None] + cl1.vkeys_hi[None, :]              # (U, H1)
+    qlo = ulo[:, None] + cl1.vkeys_lo[None, :]
+    idx2, found2 = _probe(cl2.vkeys_hi, cl2.vkeys_lo, qhi, qlo)
+    ok2 = found2 & cl1.vertex_valid[None, :]
+    uniq_tab = jnp.where(ok2, idx2, -1).astype(jnp.int32)   # (U, H1)
 
-    q2hi = fhi[:, None, None] + center_hi[None, :, :]      # (F, Cc, H1)
-    q2lo = flo[:, None, None] + center_lo[None, :, :]
-    idx2, found2 = _probe(cl2.vkeys_hi, cl2.vkeys_lo, q2hi, q2lo)
-    ok2 = found2 & cl1.vertex_valid[None, None, :]
-    pc2_corr = jnp.where(ok2, idx2, -1).astype(jnp.int32)
+    nf, nc = filter_offsets.shape[0], corr_offsets.shape[0]
+    pc2_corr = uniq_tab[jnp.asarray(inverse.astype(np.int32))].reshape(
+        nf, nc, -1)
     return pc1_corr, pc2_corr
 
 
@@ -362,13 +407,33 @@ def build_pyramid(
             nb1 = jnp.zeros((1, 1), dtype=jnp.int32)
             nb2 = jnp.zeros((1, 1), dtype=jnp.int32)
 
+        dummy_plan = ReducePlan(
+            ids=jnp.full((1,), -1, jnp.int32),
+            perm=jnp.zeros((1,), jnp.int32),
+            start=jnp.zeros((1,), jnp.int32),
+            end=jnp.zeros((1,), jnp.int32))
+
         if ss.corr_filter_radius != -1:
             f_offs = neighborhood_offsets(ss.corr_filter_radius, spec.d)
             c_offs = neighborhood_offsets(ss.corr_corr_radius, spec.d)
-            corr1, corr2 = _corr_tables(cl1, cl2, f_offs, c_offs, spec.d)
+            if ss.corr_corr_radius == ss.blur_radius and ss.blur_radius != -1:
+                # identical stencil + identical table => pc1_corr == blur
+                # neighbors; skip Cc*H probes (default config has all radii 1)
+                corr1, corr2 = _corr_tables(cl1, cl2, f_offs, c_offs, spec.d,
+                                            pc1_corr=nb1)
+            else:
+                corr1, corr2 = _corr_tables(cl1, cl2, f_offs, c_offs, spec.d)
+            corr1_plan = make_reduce_plan(corr1, ss.capacity)
+            # per-displacement-tap plans for the spread2 adjoint (a single
+            # plan over all F*Cc*H entries would need the full gradient
+            # buffer materialized at once)
+            corr2_plan = jax.vmap(
+                lambda t: make_reduce_plan(t, ss.capacity))(corr2)
         else:
             corr1 = jnp.zeros((1, 1), dtype=jnp.int32)
             corr2 = jnp.zeros((1, 1, 1), dtype=jnp.int32)
+            corr1_plan = dummy_plan
+            corr2_plan = jax.tree_util.tree_map(lambda x: x[None], dummy_plan)
 
         scales_out.append(ScalePair(
             pc1_barycentric=cl1.barycentric,
@@ -385,6 +450,10 @@ def build_pyramid(
             pc2_num_valid=cl2.num_valid,
             pc1_overflow=cl1.overflow,
             pc2_overflow=cl2.overflow,
+            pc1_splat_plan=cl1.splat_plan,
+            pc2_splat_plan=cl2.splat_plan,
+            pc1_corr_plan=corr1_plan,
+            pc2_corr_plan=corr2_plan,
         ))
 
         if i + 1 < len(spec.scales):

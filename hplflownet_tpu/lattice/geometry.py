@@ -122,7 +122,6 @@ class PermutohedralGeometry:
         """
         d, d1 = self.d, self.d1
         num_points = elevated.shape[0]
-        rows = jnp.arange(num_points, dtype=jnp.int32)[:, None]
         greedy = jnp.round(elevated / d1) * d1                        # nearest remainder-0
         el_minus_gr = elevated - greedy
 
@@ -147,12 +146,20 @@ class PermutohedralGeometry:
         rank = rank + (d1 * sign * cond).astype(jnp.int32)
         rank = rank + remainder_sum.astype(jnp.int32)
 
-        # Barycentric coordinates from the sorted residuals (reference :337-345).
+        # Barycentric coordinates from the rank-sorted residuals
+        # (reference :337-345).  The reference scatter-adds +-el_minus_gr at
+        # (d - rank) / (d1 - rank); equivalently, with s[k] = residual of the
+        # rank-k coordinate, bary[j] = (s[d-j] - s[d1-j]) / d1 (out-of-range
+        # terms zero).  Computed via a tiny one-hot contraction — XLA TPU
+        # scatters are poison (see ops/segment.py).
         el_minus_gr = elevated - greedy
-        bary = jnp.zeros((num_points, d1 + 1), dtype=jnp.float32)
-        bary = bary.at[rows, d - rank].add(el_minus_gr)
-        bary = bary.at[rows, d1 - rank].add(-el_minus_gr)
-        bary = bary / d1
+        onehot = jax.nn.one_hot(rank, d1, dtype=jnp.float32)  # (N, d1, d1)
+        sorted_el = jnp.einsum("nc,nck->nk", el_minus_gr, onehot)
+        s_rev = sorted_el[:, ::-1]                            # s[d-j] at col j
+        zeros1 = jnp.zeros((num_points, 1), dtype=jnp.float32)
+        t1 = jnp.concatenate([s_rev, zeros1], axis=1)         # (N, d1+1)
+        t2 = jnp.concatenate([zeros1, s_rev], axis=1)
+        bary = (t1 - t2) / d1
         bary = bary.at[:, 0].add(1.0 + bary[:, d1])
         bary = bary[:, :d1]
 

@@ -20,7 +20,7 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["neighborhood_offsets", "filter_size"]
+__all__ = ["neighborhood_offsets", "filter_size", "tap_negation"]
 
 
 def filter_size(radius: int, d: int) -> int:
@@ -47,3 +47,19 @@ def neighborhood_offsets(radius: int, d: int) -> np.ndarray:
     assert out.shape == (filter_size(radius, d), d1)
     assert (out.sum(axis=1) == 0).all()
     return out
+
+
+@lru_cache(maxsize=None)
+def tap_negation(radius: int, d: int) -> tuple:
+    """Permutation mapping each tap to the tap of its negated offset.
+
+    The stencil is closed under negation (for steps ``i`` with min 0,
+    ``-(d1*i - sum(i))`` equals the offset of ``max(i) - i``), which makes
+    the blur's transpose convolution expressible as the same gather with
+    permuted taps — the key to a scatter-free backward pass (ops/bcl.py).
+    """
+    offs = neighborhood_offsets(radius, d)
+    lut = {tuple(int(v) for v in row): i for i, row in enumerate(offs)}
+    neg = tuple(lut[tuple(int(-v) for v in row)] for row in offs)
+    assert sorted(neg) == list(range(len(offs)))
+    return neg

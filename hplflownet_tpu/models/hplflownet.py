@@ -19,7 +19,7 @@ import jax
 from flax import linen as nn
 import jax.numpy as jnp
 
-from ..lattice.offsets import filter_size
+from ..lattice.offsets import filter_size, tap_negation
 from ..ops.bcl import BilateralConv
 from ..ops.corr import BilateralCorrelation
 from .layers import PointMLP
@@ -55,6 +55,7 @@ class HPLFlowNet(nn.Module):
                 filter_size=fs(sfm[scale_idx][1]),
                 do_splat=do_splat,
                 do_slice=not do_splat,
+                tap_negation=tap_negation(int(sfm[scale_idx][1]), d),
                 use_norm=self.bcn_use_norm,
                 use_bias=self.bcn_use_bias,
                 use_leaky=self.use_leaky,
@@ -119,11 +120,11 @@ class HPLFlowNet(nn.Module):
         def down(bcn_mod, sp, f1, f2):
             o1 = bcn_mod(_concat(sp.pc1_el_minus_gr, f1),
                          in_barycentric=sp.pc1_barycentric,
-                         in_lattice_offset=sp.pc1_lattice_offset,
+                         splat_plan=sp.pc1_splat_plan,
                          blur_neighbors=sp.pc1_blur_neighbors)
             o2 = bcn_mod(_concat(sp.pc2_el_minus_gr, f2),
                          in_barycentric=sp.pc2_barycentric,
-                         in_lattice_offset=sp.pc2_lattice_offset,
+                         splat_plan=sp.pc2_splat_plan,
                          blur_neighbors=sp.pc2_blur_neighbors)
             return o1, o2
 
@@ -131,9 +132,11 @@ class HPLFlowNet(nn.Module):
             return corr_mod(
                 f1, f2, prev,
                 barycentric1=sp.pc1_barycentric,
-                lattice_offset1=sp.pc1_lattice_offset,
+                splat_plan1=sp.pc1_splat_plan,
                 pc1_corr_indices=sp.pc1_corr_indices,
-                pc2_corr_indices=sp.pc2_corr_indices)
+                pc2_corr_indices=sp.pc2_corr_indices,
+                pc1_corr_plan=sp.pc1_corr_plan,
+                pc2_corr_plan=sp.pc2_corr_plan)
 
         pc1_out1, pc2_out1 = down(self.bcn1, scales[0], feat1, feat2)
         pc1_out2, pc2_out2 = down(self.bcn2, scales[1], pc1_out1, pc2_out1)
@@ -160,7 +163,8 @@ class HPLFlowNet(nn.Module):
             return bcn_mod(feats,
                            blur_neighbors=blur_sp.pc1_blur_neighbors,
                            out_barycentric=out_sp.pc1_barycentric,
-                           out_lattice_offset=out_sp.pc1_lattice_offset)
+                           out_lattice_offset=out_sp.pc1_lattice_offset,
+                           out_splat_plan=out_sp.pc1_splat_plan)
 
         # decoder with skip concats (HPLFlowNet.py:372-423); blur happens on
         # scale s's lattice, slice lands on scale s's points (= scale s-1's

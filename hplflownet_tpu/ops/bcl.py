@@ -2,17 +2,21 @@
 
 Functional primitives plus a flax module with the semantics of the
 reference's ``BilateralConvFlex`` (/root/reference/models/bilateralNN.py:46-238),
-re-mapped onto XLA-friendly ops:
+re-mapped onto XLA-friendly ops.  The whole layer — forward AND backward — is
+scatter-free (XLA's TPU scatter path costs minutes of compile and ~45 ms per
+op here; see ops/segment.py):
 
-* splat: ``jax.ops.segment_sum`` scatter-add over lattice vertices with the
-  reference's ``1/(density + 1e-5)`` normalization (bilateralNN.py:168-189);
-  replaces the torch sparse-tensor densification (``SparseSum``, :9-43).
-* blur: a scan over the stencil taps, each step a gather + one MXU matmul —
-  ``acc += splatted[neighbors[:, f]] @ W[f]``.  This keeps peak memory at
-  one (H, C) gather instead of the reference's (B, C, F, H) chunked
-  fancy-indexing (:199-221) and feeds the MXU large (H, C)x(C, O) matmuls.
+* splat: sorted prefix-sum segment reduction through the builder's
+  :class:`~hplflownet_tpu.ops.segment.ReducePlan`, with the reference's
+  ``1/(density + 1e-5)`` normalization (bilateralNN.py:168-189).  Its adjoint
+  is a gather (same rule as the reference's SparseSum.backward, :32-40).
+* blur: a scan over stencil taps, each step a gather + one MXU matmul.  Its
+  adjoint uses the stencil's closure under negation — for every offset ``o``
+  the stencil contains ``-o`` — so the transpose convolution is the same
+  gather pattern with permuted taps and transposed kernels (a custom VJP;
+  ``tap_negation`` from lattice/offsets.py).
 * slice: gather the d+1 enclosing vertices per point + barycentric
-  contraction (:223-238).
+  contraction (:223-238); adjoint = unnormalized splat via the same plan.
 
 Everything is single-sample (no batch dim); batch via ``jax.vmap``.
 Index conventions match the builder: vertex id ``-1`` = absent; all gathers
@@ -24,11 +28,14 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+from functools import partial
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from .segment import ReducePlan, apply_reduce_plan
 
 __all__ = ["splat", "blur_matmul", "slice_to_points", "BilateralConv",
            "LEAKY_RATE", "vertex_constraint"]
@@ -54,6 +61,7 @@ def _constrain_vertices(x: jax.Array) -> jax.Array:
     fn = _VERTEX_CONSTRAINT.get()
     return fn(x) if fn is not None else x
 
+
 LEAKY_RATE = 0.1  # reference: models/module_utils.py:6
 NORM_EPS = 1e-5   # reference: models/bilateralNN.py:185
 
@@ -68,36 +76,50 @@ def _activation(use_leaky: bool):
     return jax.nn.relu
 
 
+# ---------------------------------------------------------------------------
+# splat
+# ---------------------------------------------------------------------------
+
 def splat(
-    features: jax.Array,        # (N, C)
-    barycentric: jax.Array,     # (N, d1)
-    lattice_offset: jax.Array,  # (N, d1) int32, -1 = absent/invalid
-    capacity: int,
+    features: jax.Array,      # (N, C)
+    barycentric: jax.Array,   # (N, d1)
+    plan: ReducePlan,         # builder's splat plan for this cloud/scale
     normalize: bool = True,
 ) -> jax.Array:
-    """Barycentric scatter-add of point features onto lattice vertices.
+    """Barycentric-weighted reduction of point features onto lattice vertices.
 
-    Returns ``(capacity + 1, C)`` with row 0 the all-zero sentinel row
-    (invalid points carry zero barycentric weight, so they are inert).
+    Returns ``(H + 1, C)`` with row 0 the all-zero sentinel row (invalid
+    points carry zero barycentric weight, so they are inert).
     """
     num_input = features.shape[-1]
-    ids = (lattice_offset + 1).reshape(-1)                        # (N*d1,)
     vals = (features[:, None, :] * barycentric[:, :, None]).reshape(-1, num_input)
-    out = jax.ops.segment_sum(vals, ids, num_segments=capacity + 1)
     if normalize:
-        density = jax.ops.segment_sum(
-            barycentric.reshape(-1), ids, num_segments=capacity + 1)
-        out = out * (1.0 / (density + NORM_EPS))[:, None]
-    return out
+        # density shares the reduction pass as an extra channel
+        vals = jnp.concatenate([vals, barycentric.reshape(-1, 1)], axis=1)
+    out = apply_reduce_plan(plan, vals)                         # (H, C[+1])
+    if normalize:
+        out = out[:, :num_input] * (1.0 / (out[:, num_input] + NORM_EPS))[:, None]
+    return jnp.concatenate(
+        [jnp.zeros((1, num_input), out.dtype), out], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# blur (custom VJP via the negated-tap stencil)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
 def blur_matmul(
+    tap_negation: tuple,       # static: index of -offset per tap (adjoint)
     splatted_pad: jax.Array,   # (H+1, C_in), row 0 = zero sentinel
     neighbors: jax.Array,      # (F, H) int32, -1 = absent
     kernel: jax.Array,         # (F, C_in, C_out)
     bias: jax.Array,           # (C_out,)
 ) -> jax.Array:
     """Stencil convolution over the lattice as F gather+matmul steps."""
+    return _blur_fwd_impl(splatted_pad, neighbors, kernel, bias)
+
+
+def _blur_fwd_impl(splatted_pad, neighbors, kernel, bias):
     capacity = neighbors.shape[1]
     out_dim = kernel.shape[-1]
 
@@ -112,16 +134,87 @@ def blur_matmul(
     return _constrain_vertices(acc)
 
 
+def _blur_fwd(tap_negation, splatted_pad, neighbors, kernel, bias):
+    out = _blur_fwd_impl(splatted_pad, neighbors, kernel, bias)
+    return out, (splatted_pad, neighbors, kernel)
+
+
+def _blur_bwd(tap_negation, res, g):
+    """Transpose stencil conv: whoever reads vertex v via offset o is v's
+    neighbor via -o, so d_splat[v] = sum_f g[nb[neg(f), v]] @ W_f^T.
+
+    Row 0 of splatted_pad is the constant zero sentinel; its cotangent is
+    dropped by the concat adjoint upstream, so we return zeros there.
+    """
+    splatted_pad, neighbors, kernel = res
+    c_in = splatted_pad.shape[1]
+    capacity = neighbors.shape[1]
+    neg = jnp.asarray(tap_negation, dtype=jnp.int32)
+    g_pad = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype), g], axis=0)
+
+    def step(d_acc, inputs):
+        nb_f, nb_negf, k_f = inputs
+        gathered = splatted_pad[nb_f + 1]                 # recompute (remat)
+        dk_f = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32)
+        d_rows = jnp.dot(g_pad[nb_negf + 1], k_f.T,
+                         preferred_element_type=jnp.float32)
+        return d_acc + d_rows, dk_f
+
+    d_sp, d_kernel = jax.lax.scan(
+        step, jnp.zeros((capacity, c_in), jnp.float32),
+        (neighbors, neighbors[neg], kernel))
+    d_splatted_pad = jnp.concatenate(
+        [jnp.zeros((1, c_in), jnp.float32), d_sp], axis=0)
+    return d_splatted_pad, None, d_kernel, g.sum(axis=0)
+
+
+blur_matmul.defvjp(_blur_fwd, _blur_bwd)
+
+
+# ---------------------------------------------------------------------------
+# slice (custom VJP: adjoint = unnormalized splat via the same plan)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
 def slice_to_points(
     blurred: jax.Array,             # (H, C)
     out_barycentric: jax.Array,     # (N, d1)
-    out_lattice_offset: jax.Array,  # (N, d1) int32, -1 rows masked by zero bary
+    out_lattice_offset: jax.Array,  # (N, d1) int32, -1 rows have zero bary
+    plan: ReducePlan,               # same cloud/scale splat plan
 ) -> jax.Array:
     """Gather each point's d+1 vertices and take the barycentric combination."""
+    return _slice_impl(blurred, out_barycentric, out_lattice_offset)
+
+
+def _slice_impl(blurred, out_barycentric, out_lattice_offset):
     safe = jnp.clip(out_lattice_offset, 0, blurred.shape[0] - 1)
     gathered = blurred[safe]                               # (N, d1, C)
     return jnp.einsum("nr,nrc->nc", out_barycentric, gathered)
 
+
+def _slice_fwd(blurred, out_barycentric, out_lattice_offset, plan):
+    out = _slice_impl(blurred, out_barycentric, out_lattice_offset)
+    return out, (blurred, out_barycentric, out_lattice_offset, plan)
+
+
+def _slice_bwd(res, g):
+    blurred, bary, offsets, plan = res
+    c = blurred.shape[1]
+    # d_blurred[v] = sum over (n, r) with offset=v of bary[n,r] * g[n]
+    vals = (bary[:, :, None] * g[:, None, :]).reshape(-1, c)
+    d_blurred = apply_reduce_plan(plan, vals)
+    safe = jnp.clip(offsets, 0, blurred.shape[0] - 1)
+    d_bary = jnp.einsum("nc,nrc->nr", g, blurred[safe])
+    d_bary = jnp.where(offsets >= 0, d_bary, 0.0)
+    return d_blurred, d_bary, None, None
+
+
+slice_to_points.defvjp(_slice_fwd, _slice_bwd)
+
+
+# ---------------------------------------------------------------------------
+# module
+# ---------------------------------------------------------------------------
 
 class BilateralConv(nn.Module):
     """BCL with optional splat front-end and slice back-end.
@@ -130,12 +223,15 @@ class BilateralConv(nn.Module):
     (kernel ``(filter_size, C_in, widths[0])``), the rest are pointwise.
     Parameter names ``conv0, conv1, ..., slice_bias`` line up 1:1 with the
     reference's ``blur_conv`` stack + ``bias`` for weight porting.
+    ``tap_negation`` is the stencil's negation permutation
+    (lattice.offsets.tap_negation) used by the blur adjoint.
     """
 
     widths: Sequence[int]
     filter_size: int
     do_splat: bool
     do_slice: bool
+    tap_negation: tuple
     use_norm: bool = True
     use_bias: bool = True
     use_leaky: bool = True
@@ -146,18 +242,18 @@ class BilateralConv(nn.Module):
         self,
         features: jax.Array,               # (N_in, C) if do_splat else (H, C)
         in_barycentric: jax.Array | None = None,
-        in_lattice_offset: jax.Array | None = None,
+        splat_plan: ReducePlan | None = None,
         blur_neighbors: jax.Array | None = None,   # (F, H)
         out_barycentric: jax.Array | None = None,
         out_lattice_offset: jax.Array | None = None,
+        out_splat_plan: ReducePlan | None = None,
     ) -> jax.Array:
-        capacity = blur_neighbors.shape[1]
         act = _activation(self.use_leaky)
         num_input = features.shape[-1]
 
         if self.do_splat:
-            splatted_pad = splat(features, in_barycentric, in_lattice_offset,
-                                 capacity, normalize=self.use_norm)
+            splatted_pad = splat(features, in_barycentric, splat_plan,
+                                 normalize=self.use_norm)
         else:
             splatted_pad = jnp.concatenate(
                 [jnp.zeros((1, num_input), features.dtype), features], axis=0)
@@ -167,7 +263,8 @@ class BilateralConv(nn.Module):
             (self.filter_size, num_input, self.widths[0]), jnp.float32)
         bias = self.param("conv0_bias", nn.initializers.zeros,
                           (self.widths[0],), jnp.float32)
-        x = blur_matmul(splatted_pad, blur_neighbors, kernel, bias)
+        x = blur_matmul(self.tap_negation, splatted_pad, blur_neighbors,
+                        kernel, bias)
         if len(self.widths) > 1 or self.last_relu:
             x = act(x)
 
@@ -183,7 +280,8 @@ class BilateralConv(nn.Module):
         if not self.do_slice:
             return x
 
-        sliced = slice_to_points(x, out_barycentric, out_lattice_offset)
+        sliced = slice_to_points(x, out_barycentric, out_lattice_offset,
+                                 out_splat_plan)
         if self.use_bias:
             sb = self.param("slice_bias", nn.initializers.zeros,
                             (self.widths[-1],), jnp.float32)

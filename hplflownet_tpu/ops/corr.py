@@ -11,10 +11,11 @@ a *cross* term:
 
     y[f] = act(spread1 @ W_self + spread2[f] @ W_cross + b)
 
-so we compute the self matmul once and scan over the 15 displacement taps,
-keeping peak memory at one (H1, Cc, C) gather while every step is an MXU
-matmul.  The displacement-filtering stage is the same stencil contraction as
-the BCL blur.
+so the self matmul happens once and the 15 displacement taps run as a scan,
+keeping peak memory at one (Cc, H1, C) gather while every step is an MXU
+matmul.  Both gather stages carry custom VJPs whose adjoints are sorted
+prefix-sum reductions over the builder's per-table ReducePlans — no XLA
+scatters anywhere (see ops/segment.py).
 """
 
 from __future__ import annotations
@@ -27,9 +28,101 @@ from flax import linen as nn
 
 from .bcl import (splat, _activation, _dense_init, _first_tap_init,
                   _constrain_vertices)
+from .segment import ReducePlan, apply_reduce_plan
 
-__all__ = ["BilateralCorrelation"]
+__all__ = ["BilateralCorrelation", "gather_rows", "corr_cross"]
 
+
+# ---------------------------------------------------------------------------
+# gather with plan-based adjoint
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gather_rows(table_pad: jax.Array,   # (T+1, C), row 0 zero sentinel
+                indices: jax.Array,     # (...,) int32, -1 = absent
+                plan: ReducePlan        # over indices.reshape(-1) -> T
+                ) -> jax.Array:
+    """table_pad[indices + 1]; adjoint is a segment reduction, not a scatter."""
+    return table_pad[indices + 1]
+
+
+def _gather_fwd(table_pad, indices, plan):
+    return table_pad[indices + 1], (indices, plan)
+
+
+def _gather_bwd(res, g):
+    indices, plan = res
+    c = g.shape[-1]
+    d_rows = apply_reduce_plan(plan, g.reshape(-1, c))      # (T, C)
+    d_table = jnp.concatenate(
+        [jnp.zeros((1, c), d_rows.dtype), d_rows], axis=0)
+    return d_table, None, None
+
+
+gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
+# ---------------------------------------------------------------------------
+# displacement-scan of the cross term, plan-based adjoint
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def corr_cross(pad2: jax.Array,       # (H2+1, C)
+               indices: jax.Array,    # (F, Cc, H1)
+               k_cross: jax.Array,    # (Cc, C, W)
+               plans: ReducePlan      # leaves stacked over F, each -> H2
+               ) -> jax.Array:
+    """cross[f] = einsum(pad2[indices[f] + 1], k_cross) -> (F, H1, W)."""
+    return _corr_cross_impl(pad2, indices, k_cross)
+
+
+def _corr_cross_impl(pad2, indices, k_cross):
+    def step(_, idx_f):
+        sp2 = pad2[idx_f + 1]                               # (Cc, H1, C)
+        y = jnp.einsum("khc,kcw->hw", sp2, k_cross,
+                       preferred_element_type=jnp.float32)
+        return None, y
+
+    _, out = jax.lax.scan(step, None, indices)
+    return out
+
+
+def _corr_cross_fwd(pad2, indices, k_cross, plans):
+    return _corr_cross_impl(pad2, indices, k_cross), (pad2, indices, k_cross,
+                                                      plans)
+
+
+def _corr_cross_bwd(res, g):                                 # g: (F, H1, W)
+    pad2, indices, k_cross, plans = res
+    c = pad2.shape[1]
+    h2 = pad2.shape[0] - 1
+
+    def step(carry, inputs):
+        d_rows_acc, dk_acc = carry
+        idx_f, plan_f, g_f = inputs
+        sp2 = pad2[idx_f + 1]                                # recompute
+        dk = jnp.einsum("khc,hw->kcw", sp2, g_f,
+                        preferred_element_type=jnp.float32)
+        dvals = jnp.einsum("hw,kcw->khc", g_f, k_cross,
+                           preferred_element_type=jnp.float32)
+        d_rows = apply_reduce_plan(plan_f, dvals.reshape(-1, c))
+        return (d_rows_acc + d_rows, dk_acc + dk), None
+
+    (d_rows, d_k), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((h2, c), jnp.float32),
+         jnp.zeros(k_cross.shape, jnp.float32)),
+        (indices, plans, g))
+    d_pad2 = jnp.concatenate([jnp.zeros((1, c), jnp.float32), d_rows], axis=0)
+    return d_pad2, None, d_k, None
+
+
+corr_cross.defvjp(_corr_cross_fwd, _corr_cross_bwd)
+
+
+# ---------------------------------------------------------------------------
+# module
+# ---------------------------------------------------------------------------
 
 class BilateralCorrelation(nn.Module):
     """Patch correlation (corr_widths) + displacement filtering (widths).
@@ -57,9 +150,11 @@ class BilateralCorrelation(nn.Module):
         feat2: jax.Array,                     # (H2, C) cloud-2 vertex features
         prev_corr_feat: jax.Array | None,     # (N_in, prev) finer-scale output
         barycentric1: jax.Array | None,       # (N_in, d1)
-        lattice_offset1: jax.Array | None,    # (N_in, d1)
+        splat_plan1: ReducePlan | None,       # cloud-1 splat plan (prev splat)
         pc1_corr_indices: jax.Array,          # (Cc, H1)
         pc2_corr_indices: jax.Array,          # (F, Cc, H1)
+        pc1_corr_plan: ReducePlan | None = None,
+        pc2_corr_plan: ReducePlan | None = None,
     ) -> jax.Array:
         h1, num_input = feat1.shape
         act = _activation(self.use_leaky)
@@ -70,8 +165,8 @@ class BilateralCorrelation(nn.Module):
         if self.prev_corr_dim:
             # splat the finer-scale correlation output onto this scale's
             # cloud-1 lattice (reference :119-168)
-            prev_pad = splat(prev_corr_feat, barycentric1, lattice_offset1,
-                             h1, normalize=self.use_norm)
+            prev_pad = splat(prev_corr_feat, barycentric1, splat_plan1,
+                             normalize=self.use_norm)
             combined1 = jnp.concatenate([prev_pad, pad1], axis=-1)
         else:
             combined1 = pad1
@@ -89,28 +184,20 @@ class BilateralCorrelation(nn.Module):
         k_self = corr_kernel[:, :self_dim, :]
         k_cross = corr_kernel[:, self_dim:, :]
 
-        spread1 = combined1[pc1_corr_indices + 1]          # (Cc, H1, self_dim)
-        a_self = jnp.einsum("khc,kco->ho", spread1, k_self,
+        spread1 = gather_rows(combined1, pc1_corr_indices, pc1_corr_plan)
+        a_self = jnp.einsum("khc,kcw->hw", spread1, k_self,
                             preferred_element_type=jnp.float32) + corr_bias
 
-        extra = []
+        cross = corr_cross(pad2, pc2_corr_indices, k_cross, pc2_corr_plan)
+        y = act(a_self[None, :, :] + cross)                  # (F, H1, wc0)
+
         for i, w in enumerate(self.corr_widths[1:], start=1):
             k = self.param(f"corr{i}_kernel", _dense_init,
                            (self.corr_widths[i - 1], w), jnp.float32)
             b = self.param(f"corr{i}_bias", nn.initializers.zeros,
                            (w,), jnp.float32)
-            extra.append((k, b))
-
-        def per_displacement(_, idx_f):
-            sp2 = pad2[idx_f + 1]                          # (Cc, H1, C)
-            y = act(a_self + jnp.einsum("khc,kco->ho", sp2, k_cross,
-                                        preferred_element_type=jnp.float32))
-            for k, b in extra:
-                y = act(jnp.dot(y, k, preferred_element_type=jnp.float32) + b)
-            return None, y
-
-        _, correlated = jax.lax.scan(per_displacement, None, pc2_corr_indices)
-        # correlated: (F, H1, corr_widths[-1])
+            y = act(jnp.einsum("fhc,cw->fhw", y, k,
+                               preferred_element_type=jnp.float32) + b)
 
         # ---- displacement-filtering stage ----
         w0 = self.widths[0]
@@ -119,7 +206,7 @@ class BilateralCorrelation(nn.Module):
             (self.filter_size, self.corr_widths[-1], w0), jnp.float32)
         blur_bias = self.param("blur0_bias", nn.initializers.zeros,
                                (w0,), jnp.float32)
-        x = jnp.einsum("fhw,fwo->ho", correlated, blur_kernel,
+        x = jnp.einsum("fhw,fwo->ho", y, blur_kernel,
                        preferred_element_type=jnp.float32) + blur_bias
         if len(self.widths) > 1 or self.last_relu:
             x = act(x)
