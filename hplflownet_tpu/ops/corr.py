@@ -47,16 +47,17 @@ def gather_rows(table_pad: jax.Array,   # (T+1, C), row 0 zero sentinel
 
 
 def _gather_fwd(table_pad, indices, plan):
-    return table_pad[indices + 1], (indices, plan)
+    dtype_marker = jnp.zeros((0,), table_pad.dtype)
+    return table_pad[indices + 1], (indices, plan, dtype_marker)
 
 
 def _gather_bwd(res, g):
-    indices, plan = res
+    indices, plan, dtype_marker = res
     c = g.shape[-1]
     d_rows = apply_reduce_plan(plan, g.reshape(-1, c))      # (T, C)
     d_table = jnp.concatenate(
         [jnp.zeros((1, c), d_rows.dtype), d_rows], axis=0)
-    return d_table, None, None
+    return d_table.astype(dtype_marker.dtype), None, None
 
 
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
@@ -100,6 +101,7 @@ def _corr_cross_bwd(res, g):                                 # g: (F, H1, W)
     def step(carry, inputs):
         d_rows_acc, dk_acc = carry
         idx_f, plan_f, g_f = inputs
+        g_f = g_f.astype(pad2.dtype)
         sp2 = pad2[idx_f + 1]                                # recompute
         dk = jnp.einsum("khc,hw->kcw", sp2, g_f,
                         preferred_element_type=jnp.float32)
@@ -113,8 +115,9 @@ def _corr_cross_bwd(res, g):                                 # g: (F, H1, W)
         (jnp.zeros((h2, c), jnp.float32),
          jnp.zeros(k_cross.shape, jnp.float32)),
         (indices, plans, g))
-    d_pad2 = jnp.concatenate([jnp.zeros((1, c), jnp.float32), d_rows], axis=0)
-    return d_pad2, None, d_k, None
+    d_pad2 = jnp.concatenate([jnp.zeros((1, c), jnp.float32), d_rows],
+                             axis=0).astype(pad2.dtype)
+    return d_pad2, None, d_k.astype(k_cross.dtype), None
 
 
 corr_cross.defvjp(_corr_cross_fwd, _corr_cross_bwd)
@@ -142,6 +145,7 @@ class BilateralCorrelation(nn.Module):
     use_norm: bool = True
     use_leaky: bool = True
     last_relu: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -159,6 +163,7 @@ class BilateralCorrelation(nn.Module):
         h1, num_input = feat1.shape
         act = _activation(self.use_leaky)
         self_dim = num_input + self.prev_corr_dim
+        dt = jnp.dtype(self.compute_dtype)
 
         pad1 = jnp.concatenate(
             [jnp.zeros((1, num_input), feat1.dtype), feat1], axis=0)
@@ -172,6 +177,8 @@ class BilateralCorrelation(nn.Module):
             combined1 = pad1
         pad2 = jnp.concatenate(
             [jnp.zeros((1, num_input), feat2.dtype), feat2], axis=0)
+        combined1 = combined1.astype(dt)
+        pad2 = pad2.astype(dt)
 
         # ---- patch-correlation stage ----
         wc0 = self.corr_widths[0]
@@ -181,8 +188,8 @@ class BilateralCorrelation(nn.Module):
         corr_bias = self.param("corr0_bias", nn.initializers.zeros,
                                (wc0,), jnp.float32)
         # channel order matches the reference concat (prev+self | cross)
-        k_self = corr_kernel[:, :self_dim, :]
-        k_cross = corr_kernel[:, self_dim:, :]
+        k_self = corr_kernel[:, :self_dim, :].astype(dt)
+        k_cross = corr_kernel[:, self_dim:, :].astype(dt)
 
         spread1 = gather_rows(combined1, pc1_corr_indices, pc1_corr_plan)
         a_self = jnp.einsum("khc,kcw->hw", spread1, k_self,
@@ -196,7 +203,7 @@ class BilateralCorrelation(nn.Module):
                            (self.corr_widths[i - 1], w), jnp.float32)
             b = self.param(f"corr{i}_bias", nn.initializers.zeros,
                            (w,), jnp.float32)
-            y = act(jnp.einsum("fhc,cw->fhw", y, k,
+            y = act(jnp.einsum("fhc,cw->fhw", y.astype(dt), k.astype(dt),
                                preferred_element_type=jnp.float32) + b)
 
         # ---- displacement-filtering stage ----
@@ -206,7 +213,7 @@ class BilateralCorrelation(nn.Module):
             (self.filter_size, self.corr_widths[-1], w0), jnp.float32)
         blur_bias = self.param("blur0_bias", nn.initializers.zeros,
                                (w0,), jnp.float32)
-        x = jnp.einsum("fhw,fwo->ho", y, blur_kernel,
+        x = jnp.einsum("fhw,fwo->ho", y.astype(dt), blur_kernel.astype(dt),
                        preferred_element_type=jnp.float32) + blur_bias
         if len(self.widths) > 1 or self.last_relu:
             x = act(x)
@@ -216,7 +223,8 @@ class BilateralCorrelation(nn.Module):
                            (x.shape[-1], w), jnp.float32)
             b = self.param(f"blur{i}_bias", nn.initializers.zeros,
                            (w,), jnp.float32)
-            x = jnp.dot(x, k, preferred_element_type=jnp.float32) + b
+            x = jnp.dot(x.astype(dt), k.astype(dt),
+                        preferred_element_type=jnp.float32) + b
             if i < len(self.widths) - 1 or self.last_relu:
                 x = act(x)
         return _constrain_vertices(x)

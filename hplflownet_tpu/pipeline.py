@@ -52,9 +52,15 @@ def make_lattice_spec(
 def flow_forward(model, params, spec: LatticeSpec,
                  pc1: jax.Array, pc2: jax.Array,
                  valid1: jax.Array | None = None,
-                 valid2: jax.Array | None = None) -> jax.Array:
-    """Single-sample: points -> lattice pyramid -> model -> (N, 3) flow."""
-    scales = build_pyramid(spec, pc1, pc2, valid1, valid2)
+                 valid2: jax.Array | None = None,
+                 adjoint_plans: bool = True) -> jax.Array:
+    """Single-sample: points -> lattice pyramid -> model -> (N, 3) flow.
+
+    Pass ``adjoint_plans=False`` for inference-only calls (skips building
+    the correlation backward plans).
+    """
+    scales = build_pyramid(spec, pc1, pc2, valid1, valid2,
+                           adjoint_plans=adjoint_plans)
     return model.apply(params, pc1, pc2, scales)
 
 
@@ -63,11 +69,13 @@ def batched_flow_forward(model, params, spec: LatticeSpec,
                          valid1: jax.Array | None = None,
                          valid2: jax.Array | None = None) -> jax.Array:
     """(B, N, d) batched forward via vmap over samples."""
-    def single(a, b, v1, v2):
-        return flow_forward(model, params, spec, a, b, v1, v2)
+    def single(t):
+        return flow_forward(model, params, spec, *t)
 
     if valid1 is None:
         valid1 = jnp.ones(pc1.shape[:2], dtype=bool)
     if valid2 is None:
         valid2 = jnp.ones(pc2.shape[:2], dtype=bool)
-    return jax.vmap(single)(pc1, pc2, valid1, valid2)
+    # lax.map keeps the fast single-sample lowering (vmap'd sorts/gathers
+    # measured 2.5x slower per sample on TPU)
+    return jax.lax.map(single, (pc1, pc2, valid1, valid2))

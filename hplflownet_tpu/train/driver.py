@@ -110,6 +110,7 @@ def build_everything(args, logger):
         bcn_use_bias=bool(args.get_or("bcn_use_bias", True)),
         bcn_use_norm=bool(args.get_or("bcn_use_norm", True)),
         last_relu=bool(args.get_or("last_relu", False)),
+        compute_dtype=str(args.get_or("compute_dtype", "float32")),
     )
 
     # init from one sample

@@ -51,14 +51,19 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state._replace(opt_state=opt_state)
 
 
-def _batched_loss(model, spec: LatticeSpec, params, batch):
+def _batched_loss(model, spec: LatticeSpec, params, batch,
+                  adjoint_plans: bool = True):
     """batch: dict with pc1, pc2 (B, N, d), sf (B, N, d), valid1/2 (B, N)."""
     def single(pc1, pc2, valid1, valid2):
-        scales = build_pyramid(spec, pc1, pc2, valid1, valid2)
+        scales = build_pyramid(spec, pc1, pc2, valid1, valid2,
+                               adjoint_plans=adjoint_plans)
         return model.apply(params, pc1, pc2, scales)
 
-    pred = jax.vmap(single)(batch["pc1"], batch["pc2"],
-                            batch["valid1"], batch["valid2"])
+    # lax.map, not vmap: batched sorts/gathers lower poorly on TPU (vmap
+    # measured 2.5x slower per sample than the single-sample graph)
+    pred = jax.lax.map(lambda t: single(*t),
+                       (batch["pc1"], batch["pc2"],
+                        batch["valid1"], batch["valid2"]))
     loss = epe3d_loss(pred, batch["sf"], batch["valid1"])
     return loss, pred
 
@@ -89,7 +94,8 @@ def make_eval_step(model, spec: LatticeSpec):
     """Jitted forward + per-batch loss (no update)."""
 
     def eval_step(params, batch):
-        loss, pred = _batched_loss(model, spec, params, batch)
+        loss, pred = _batched_loss(model, spec, params, batch,
+                                   adjoint_plans=False)
         return loss, pred
 
     return jax.jit(eval_step)
