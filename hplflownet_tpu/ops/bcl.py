@@ -120,18 +120,15 @@ def blur_matmul(
 
 
 def _blur_fwd_impl(splatted_pad, neighbors, kernel, bias):
-    capacity = neighbors.shape[1]
-    out_dim = kernel.shape[-1]
-
-    def step(acc, inputs):
-        nb_f, k_f = inputs                                # (H,), (C_in, C_out)
-        gathered = splatted_pad[nb_f + 1]                 # (H, C_in)
-        return acc + jnp.dot(gathered, k_f,
-                             preferred_element_type=jnp.float32), None
-
-    acc0 = jnp.broadcast_to(bias.astype(jnp.float32), (capacity, out_dim))
-    acc, _ = jax.lax.scan(step, acc0, (neighbors, kernel))
-    return _constrain_vertices(acc)
+    # one (H, F, C_in) row-gather + one MXU matmul over the flattened
+    # (stencil x channel) axis — one big op beats an F-step scan of small
+    # gathers+matmuls on TPU
+    f, capacity = neighbors.shape
+    c_in = splatted_pad.shape[1]
+    spread = splatted_pad[neighbors.T + 1].reshape(capacity, f * c_in)
+    out = jnp.dot(spread, kernel.reshape(f * c_in, -1),
+                  preferred_element_type=jnp.float32)
+    return _constrain_vertices(out + bias.astype(jnp.float32))
 
 
 def _blur_fwd(tap_negation, splatted_pad, neighbors, kernel, bias):
@@ -147,24 +144,24 @@ def _blur_bwd(tap_negation, res, g):
     dropped by the concat adjoint upstream, so we return zeros there.
     """
     splatted_pad, neighbors, kernel = res
+    f, capacity = neighbors.shape
     c_in = splatted_pad.shape[1]
-    capacity = neighbors.shape[1]
+    c_out = kernel.shape[-1]
     neg = jnp.asarray(tap_negation, dtype=jnp.int32)
     gc = g.astype(splatted_pad.dtype)          # mixed-precision backward
     g_pad = jnp.concatenate([jnp.zeros((1, gc.shape[1]), gc.dtype), gc],
                             axis=0)
 
-    def step(d_acc, inputs):
-        nb_f, nb_negf, k_f = inputs
-        gathered = splatted_pad[nb_f + 1]                 # recompute (remat)
-        dk_f = jnp.dot(gathered.T, gc, preferred_element_type=jnp.float32)
-        d_rows = jnp.dot(g_pad[nb_negf + 1], k_f.T,
-                         preferred_element_type=jnp.float32)
-        return d_acc + d_rows, dk_f
+    # dW: recompute the spread (remat) and contract the vertex axis
+    spread = splatted_pad[neighbors.T + 1].reshape(capacity, f * c_in)
+    d_kernel = jnp.dot(spread.T, gc,
+                       preferred_element_type=jnp.float32).reshape(
+                           f, c_in, c_out)
 
-    d_sp, d_kernel = jax.lax.scan(
-        step, jnp.zeros((capacity, c_in), jnp.float32),
-        (neighbors, neighbors[neg], kernel))
+    # d_splat via the negated-tap gather: same single-matmul structure
+    g_spread = g_pad[neighbors[neg].T + 1].reshape(capacity, f * c_out)
+    k_t = jnp.transpose(kernel, (0, 2, 1)).reshape(f * c_out, c_in)
+    d_sp = jnp.dot(g_spread, k_t, preferred_element_type=jnp.float32)
     d_splatted_pad = jnp.concatenate(
         [jnp.zeros((1, c_in), jnp.float32), d_sp],
         axis=0).astype(splatted_pad.dtype)
