@@ -312,8 +312,12 @@ def _build_from_elevated(
     vhi = jnp.where(vertex_valid, comp_hi[:capacity], _SENTINEL)
     vlo = jnp.where(vertex_valid, comp_lo[:capacity], _SENTINEL)
 
-    idx, found = _probe(vhi, vlo, hi, lo)                  # (N, d1)
-    lattice_offset = jnp.where(valid[:, None] & found, idx, -1).astype(jnp.int32)
+    # per-entry dense ids are just the rank cumsum, unsorted back to flat
+    # order through the key sort's permutation (no probe needed)
+    ranks = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    ids_sorted = jnp.where(real & (ranks < capacity), ranks, -1)
+    _, ids_flat = jax.lax.sort((perm, ids_sorted), num_keys=1)
+    lattice_offset = ids_flat.reshape(hi.shape)
 
     barycentric = jnp.where(valid[:, None], kb.barycentric, 0.0)
     el_minus_gr = jnp.where(valid[:, None], kb.el_minus_gr, 0.0)
