@@ -194,6 +194,13 @@ def evaluate(args, model, spec, params, val_loader, logger,
 
 def run(args):
     """Entry: train or evaluate per the config (reference main.py:26-200)."""
+    if args.get_or("matmul_precision", "default") != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
+    if osp.exists(args.ckpt_dir) and not args.evaluate \
+            and not args.get_or("resume", False):
+        print(f"warning: ckpt_dir {args.ckpt_dir} exists and will be "
+              "overwritten (the reference prompts here, main.py:36-41)")
     os.makedirs(args.ckpt_dir, exist_ok=True)
     logger = Logger(osp.join(args.ckpt_dir, "log"))
     for k in sorted(args):
