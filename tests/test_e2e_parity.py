@@ -1,0 +1,136 @@
+"""End-to-end output fidelity: full HPLFlowNetShallow forward vs a numpy
+oracle composition.
+
+Every op has a loop-oracle parity test; this composes those oracles along
+the exact model topology (down path, correlations with refinement, up path
+with skip concats, head) using the real initialized weights, and checks the
+final flow — the strongest output-fidelity gate available without the
+reference's trained checkpoint (zero egress; trained_models/ ships only a
+download link)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hplflownet_tpu.lattice import LatticeSpec, ScaleSpec, build_pyramid
+from hplflownet_tpu.models import HPLFlowNetShallow
+from tests.oracle import ops_oracle as oracle
+
+SFM5 = [[1.0, 1, 1, 1], [0.5, 1, 1, 1], [0.25, 1, 1, 1],
+        [0.125, 1, 1, 1], [0.0625, 1, 1, 1]]
+
+
+def mlp_np(p, x, n_layers, last_act=True):
+    for i in range(n_layers):
+        x = x @ np.asarray(p[f"dense{i}_kernel"]) + np.asarray(p[f"dense{i}_bias"])
+        if i < n_layers - 1 or last_act:
+            x = oracle.leaky(x)
+    return x
+
+
+def bcn_np(p, sp, feats, cloud, do_splat, do_slice, last_relu=False):
+    """Single-width BCL (shallow model) via the loop oracles."""
+    bary = np.asarray(getattr(sp, f"{cloud}_barycentric"))
+    offs = np.asarray(getattr(sp, f"{cloud}_lattice_offset"))
+    nb = np.asarray(getattr(sp, f"{cloud}_blur_neighbors")).T  # oracle (H, F)
+    cap = nb.shape[0]
+
+    if do_splat:
+        splatted = oracle.splat_np(feats, bary, offs, cap)
+    else:
+        splatted = np.concatenate(
+            [np.zeros((1, feats.shape[1])), feats], axis=0)
+
+    x = oracle.blur_np(splatted, nb, np.asarray(p["conv0_kernel"]),
+                       np.asarray(p["conv0_bias"]))
+    if last_relu:
+        x = oracle.leaky(x)
+    if not do_slice:
+        return x
+    out_bary = np.asarray(sp.pc1_barycentric)
+    out_offs = np.asarray(sp.pc1_lattice_offset)
+    sliced = oracle.slice_np(x, out_bary, out_offs)
+    return sliced + np.asarray(p["slice_bias"])
+
+
+def corr_np(p, sp, feat1, feat2, prev, prev_dim):
+    bary = np.asarray(sp.pc1_barycentric)
+    offs = np.asarray(sp.pc1_lattice_offset)
+    cap = np.asarray(sp.pc1_blur_neighbors).shape[1]
+    prev_pad = (oracle.splat_np(prev, bary, offs, cap)
+                if prev_dim else None)
+    return oracle.corr_np(
+        feat1, feat2, prev_pad,
+        np.asarray(sp.pc1_corr_indices).T,
+        np.asarray(sp.pc2_corr_indices).transpose(0, 2, 1),
+        np.asarray(p["corr0_kernel"]), np.asarray(p["corr0_bias"]),
+        [],
+        np.asarray(p["blur0_kernel"]), np.asarray(p["blur0_bias"]),
+        [],
+    )
+
+
+def test_full_shallow_forward_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    n = 64
+    pc1 = (rng.randn(n, 3) * 2.0).astype(np.float32)
+    pc2 = pc1 + 0.05 * rng.randn(n, 3).astype(np.float32)
+
+    spec = LatticeSpec(d=3, scales=tuple(
+        ScaleSpec(s, b, f, c, capacity=cap)
+        for (s, b, f, c), cap in zip(SFM5, [320, 320, 256, 128, 128])))
+    model = HPLFlowNetShallow(scales_filter_map=SFM5)
+
+    j1, j2 = jnp.asarray(pc1), jnp.asarray(pc2)
+    scales = build_pyramid(spec, j1, j2)
+    params = model.init(jax.random.PRNGKey(0), j1, j2, scales)
+    got = np.asarray(model.apply(params, j1, j2, scales))
+
+    p = params["params"]
+
+    feat1 = mlp_np(p["conv1"], pc1, 3)
+    feat2 = mlp_np(p["conv1"], pc2, 3)
+
+    def el(i, cloud="pc1"):
+        return np.asarray(getattr(scales[i], f"{cloud}_el_minus_gr"))
+
+    def down(i, name, f1, f2):
+        o1 = bcn_np(p[name], scales[i],
+                    np.concatenate([el(i), f1], 1), "pc1", True, False)
+        o2 = bcn_np(p[name], scales[i],
+                    np.concatenate([el(i, "pc2"), f2], 1), "pc2", True, False)
+        return o1, o2
+
+    pc1_o1, pc2_o1 = down(0, "bcn1", feat1, feat2)
+    pc1_o2, pc2_o2 = down(1, "bcn2", pc1_o1, pc2_o1)
+    pc1_o3, pc2_o3 = down(2, "bcn3", pc1_o2, pc2_o2)
+
+    c1 = corr_np(p["corr1"], scales[2], pc1_o3, pc2_o3, None, 0)
+    c1 = mlp_np(p["corr1_refine"], np.concatenate([el(3), c1], 1), 3)
+
+    pc1_o4, pc2_o4 = down(3, "bcn4", pc1_o3, pc2_o3)
+    c2 = corr_np(p["corr2"], scales[3], pc1_o4, pc2_o4, c1, 64)
+    c2 = mlp_np(p["corr2_refine"], np.concatenate([el(4), c2], 1), 3)
+
+    pc1_o5, pc2_o5 = down(4, "bcn5", pc1_o4, pc2_o4)
+    c3 = corr_np(p["corr3"], scales[4], pc1_o5, pc2_o5, c2, 64)
+    c3 = mlp_np(p["corr3_refine"], c3, 3)
+
+    def up(i, name, feats):
+        return bcn_np(p[name], scales[i], feats, "pc1", False, True)
+
+    out = up(4, "bcn5_", np.concatenate([c3, pc1_o5], 1))
+    out = up(3, "bcn4_", np.concatenate([el(4), out, c2, pc1_o4], 1))
+    out = up(2, "bcn3_", np.concatenate([el(3), out, c1, pc1_o3], 1))
+    out = up(1, "bcn2_", np.concatenate([el(2), out, pc1_o2], 1))
+    out = up(0, "bcn1_", np.concatenate([el(1), out, pc1_o1], 1))
+
+    out = mlp_np(p["conv2"], out, 1)
+    out = mlp_np(p["conv3"], out, 1)
+    want = mlp_np(p["conv4"], out, 1, last_act=False)
+
+    assert got.shape == want.shape == (n, 3)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    # the flows should be essentially identical relative to their scale
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 2e-2
