@@ -187,9 +187,14 @@ def slice_to_points(
 
 
 def _slice_impl(blurred, out_barycentric, out_lattice_offset):
+    # offset -1 marks an absent vertex: an invalid point (zero barycentric)
+    # OR a valid point whose vertex overflowed capacity (nonzero barycentric,
+    # lattice/build.py).  The clamp would alias the latter onto row 0 — a
+    # real vertex — so zero those weights explicitly.
     safe = jnp.clip(out_lattice_offset, 0, blurred.shape[0] - 1)
     gathered = blurred[safe]                               # (N, d1, C)
-    return jnp.einsum("nr,nrc->nc", out_barycentric, gathered)
+    bary = jnp.where(out_lattice_offset >= 0, out_barycentric, 0.0)
+    return jnp.einsum("nr,nrc->nc", bary, gathered)
 
 
 def _slice_fwd(blurred, out_barycentric, out_lattice_offset, plan):

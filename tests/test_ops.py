@@ -327,3 +327,54 @@ def test_ops_differentiable():
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     assert np.isfinite(np.asarray(g_feats)).all()
     assert float(jnp.abs(g_feats).sum()) > 0
+
+
+def test_slice_overflow_vertices_contribute_zero():
+    """A valid point whose vertex overflowed capacity (offset -1, nonzero
+    barycentric) must not alias onto row 0 of the blurred table (a real
+    vertex).  Reference has no overflow concept (bilateralNN.py:223-238);
+    our capacity padding introduces it, so slice must mask it out."""
+    cap, c = 16, 5
+    rng = np.random.RandomState(11)
+    blurred = jnp.asarray(rng.randn(cap, c).astype(np.float32))
+    # point 0: fully valid; point 1: one overflowed vertex; point 2: all
+    # overflowed (pathological); all with NONZERO barycentric weights
+    offsets = jnp.asarray([[0, 1, 2, 3], [4, -1, 5, 6], [-1, -1, -1, -1]],
+                          dtype=jnp.int32)
+    bary = jnp.asarray(rng.rand(3, 4).astype(np.float32)) + 0.1
+
+    out = np.asarray(slice_to_points(blurred, bary, offsets, None))
+    b = np.asarray(blurred)
+    w = np.asarray(bary)
+    want0 = w[0] @ b[[0, 1, 2, 3]]
+    want1 = w[1, 0] * b[4] + w[1, 2] * b[5] + w[1, 3] * b[6]  # tap 1 dropped
+    np.testing.assert_allclose(out[0], want0, rtol=1e-5)
+    np.testing.assert_allclose(out[1], want1, rtol=1e-5)
+    np.testing.assert_allclose(out[2], 0.0, atol=0.0)  # no row-0 pollution
+
+
+def test_model_forward_finite_under_capacity_overflow():
+    """Undersized capacities => builder drops vertices (offset -1 with real
+    barycentric weight); the full shallow forward must stay finite and the
+    overflow must actually occur for the test to mean anything."""
+    from hplflownet_tpu.models import HPLFlowNetShallow
+    from hplflownet_tpu.pipeline import make_lattice_spec
+    from hplflownet_tpu.lattice import build_pyramid
+
+    sfm5 = [[1.0, 1, 1, 1], [0.5, 1, 1, 1], [0.25, 1, 1, 1],
+            [0.125, 1, 1, 1], [0.0625, 1, 1, 1]]
+    rng = np.random.RandomState(5)
+    n = 128
+    pc1 = jnp.asarray((rng.randn(n, 3) * 4.0).astype(np.float32))
+    pc2 = jnp.asarray((rng.randn(n, 3) * 4.0).astype(np.float32))
+
+    # deliberately too small at the finest scale
+    spec = make_lattice_spec(sfm5, capacities=[48, 160, 128, 96, 64])
+    scales = build_pyramid(spec, pc1, pc2)
+    assert int(np.asarray(scales[0].pc1_overflow)) > 0
+
+    model = HPLFlowNetShallow(scales_filter_map=sfm5)
+    params = model.init(jax.random.PRNGKey(0), pc1, pc2, scales)
+    out = np.asarray(model.apply(params, pc1, pc2, scales))
+    assert out.shape == (n, 3)
+    assert np.isfinite(out).all()
