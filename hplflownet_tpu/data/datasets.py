@@ -26,8 +26,14 @@ class _SceneFlowDataset:
     def __len__(self):
         return len(self.samples)
 
-    def __getitem__(self, index):
-        rng = np.random
+    def load(self, index, rng):
+        """Fetch one item using the given RandomState (reproducible path).
+
+        The loader derives ``rng`` from (seed, epoch, index), unlike the
+        reference's racy per-worker global reseed (main.py:85-92) — two runs
+        with the same seed produce identical batches regardless of thread
+        scheduling.
+        """
         for _ in range(10):  # resample on degenerate items (reference :41-44)
             path = self.samples[index]
             pc1, pc2 = self.pc_loader(path)
@@ -38,6 +44,9 @@ class _SceneFlowDataset:
             warnings.warn(f"degenerate sample {path}, resampling")
             index = int(rng.randint(len(self.samples)))
         raise RuntimeError("10 consecutive degenerate samples")
+
+    def __getitem__(self, index):
+        return self.load(index, np.random)
 
 
 class FlyingThings3DSubset(_SceneFlowDataset):

@@ -64,6 +64,18 @@ class BatchLoader:
         slots = {}
         for i, b in enumerate(batches):
             idx_q.put((i, b))
+        epoch = self._epoch - 1
+
+        def fetch(j):
+            # per-(seed, epoch, sample) RNG: identical batches across runs
+            # and thread schedules (the reference's per-worker reseed,
+            # main.py:85-92, is not replayable)
+            if hasattr(self.dataset, "load"):
+                mix = (self.seed * 1000003 + epoch * 10007 + int(j)) \
+                    % (2 ** 32)
+                return self.dataset.load(int(j),
+                                         np.random.RandomState(mix))
+            return self.dataset[j]
 
         def worker():
             while True:
@@ -72,7 +84,7 @@ class BatchLoader:
                 except queue.Empty:
                     return
                 try:
-                    out_q.put((i, _stack([self.dataset[j] for j in b])))
+                    out_q.put((i, _stack([fetch(j) for j in b])))
                 except Exception as e:  # surface loader errors to the consumer
                     out_q.put((i, e))
 

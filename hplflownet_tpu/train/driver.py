@@ -198,9 +198,20 @@ def run(args):
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)
     if osp.exists(args.ckpt_dir) and not args.evaluate \
-            and not args.get_or("resume", False):
-        print(f"warning: ckpt_dir {args.ckpt_dir} exists and will be "
-              "overwritten (the reference prompts here, main.py:36-41)")
+            and not args.get_or("resume", False) \
+            and not args.get_or("force_overwrite", False):
+        # reference prompts interactively here (main.py:36-41); we prompt on
+        # a tty and abort otherwise unless force_overwrite is set
+        import sys
+        from ..utils.logging import confirm
+        if sys.stdin.isatty():
+            if not confirm(f"Attention: ckpt_dir {args.ckpt_dir} already "
+                           "exists. Continue and overwrite?", default=None):
+                sys.exit(1)
+        else:
+            raise RuntimeError(
+                f"ckpt_dir {args.ckpt_dir} already exists; set "
+                "force_overwrite: true (or resume: true) to proceed")
     os.makedirs(args.ckpt_dir, exist_ok=True)
     logger = Logger(osp.join(args.ckpt_dir, "log"))
     for k in sorted(args):
@@ -244,6 +255,13 @@ def run(args):
         logger.log(f"=> resumed from epoch {start_epoch}")
         if not np.isfinite(min_val):
             min_val = None
+        if args.get_or("reset_lr", False):
+            # reference main.py:144-146: rebase lr to args.lr after the
+            # checkpoint's optimizer state was restored; keep it rebased for
+            # the remaining epochs (overrides the schedule)
+            logger.log("reset lr")
+            state = set_learning_rate(state, args.lr)
+            lr_fn = lambda _epoch: args.lr  # noqa: E731
 
     for epoch in range(start_epoch, args.epochs):
         lr = lr_fn(epoch)

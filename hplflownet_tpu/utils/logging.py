@@ -4,7 +4,24 @@ from __future__ import annotations
 
 import sys
 
-__all__ = ["Logger", "AverageMeter"]
+__all__ = ["Logger", "AverageMeter", "confirm"]
+
+
+def confirm(question: str, default: bool | None = None) -> bool:
+    """Interactive yes/no prompt (reference main_utils.py:121-151 UX).
+
+    ``default`` is returned on empty input; ``None`` keeps asking.
+    """
+    suffix = {True: " [Y/n] ", False: " [y/N] ", None: " [y/n] "}[default]
+    answers = {"y": True, "ye": True, "yes": True,
+               "n": False, "no": False}
+    while True:
+        reply = input(question + suffix).strip().lower()
+        if not reply and default is not None:
+            return default
+        if reply in answers:
+            return answers[reply]
+        print("Please answer 'y' or 'n'.")
 
 
 class Logger:

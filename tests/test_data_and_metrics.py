@@ -154,3 +154,48 @@ num_points: 8192
         postprocess(Config(dict(raw, arch="NoSuchNet")))
     with pytest.raises(AssertionError):
         postprocess(Config(dict(raw, evaluate=True)))  # needs resume
+
+
+def test_batch_loader_reproducible_augmentation():
+    """Same seed => bitwise-identical batches across runs and thread
+    schedules; different epochs draw different augmentations (the reference's
+    per-worker global reseed, main.py:85-92, races under threads)."""
+    from hplflownet_tpu.data.datasets import _SceneFlowDataset
+
+    class DS(_SceneFlowDataset):
+        def __init__(self, transform):
+            super().__init__(transform, num_points=64)
+            self.samples = [f"s{i}" for i in range(8)]
+            rng = np.random.RandomState(0)
+            self.clouds = [
+                (rng.rand(300, 3).astype(np.float32) * 5 + [0, 0, 3],)
+                * 2 for i in range(8)]
+
+        def pc_loader(self, path):
+            pc1, pc2 = self.clouds[int(path[1:])]
+            return pc1.copy(), pc2.copy()
+
+    aug = Augmentation(
+        dict(degree_range=0.17, shift_range=1.0, scale_low=0.95,
+             scale_high=1.05, jitter_sigma=0.01, jitter_clip=0.0),
+        dict(degree_range=0.0, shift_range=0.3, jitter_sigma=0.01,
+             jitter_clip=0.0),
+        DP, num_points=64)
+
+    def first_epoch(num_threads):
+        dl = BatchLoader(DS(aug), batch_size=4, shuffle=True, seed=7,
+                         num_threads=num_threads)
+        return list(dl)
+
+    a, b = first_epoch(1), first_epoch(4)
+    assert len(a) == len(b) == 2
+    for ba, bb in zip(a, b):
+        assert ba["path"] == bb["path"]
+        np.testing.assert_array_equal(ba["pc1"], bb["pc1"])
+        np.testing.assert_array_equal(ba["sf"], bb["sf"])
+
+    # second epoch of the same loader must differ (new augmentation draws)
+    dl = BatchLoader(DS(aug), batch_size=4, shuffle=False, seed=7,
+                     drop_last=False)
+    e1, e2 = list(dl), list(dl)
+    assert any((x["pc1"] != y["pc1"]).any() for x, y in zip(e1, e2))

@@ -119,3 +119,20 @@ def test_train_then_evaluate_roundtrip(fake_data, tmp_path, monkeypatch):
     assert visu, "expected visu dumps"
     dumped = os.listdir(osp.join(cfg["ckpt_dir"], visu[0]))
     assert any(f.startswith("output_") for f in dumped)
+
+
+def test_ckpt_dir_overwrite_guard(fake_data, tmp_path, monkeypatch):
+    """Existing ckpt_dir + non-tty stdin must abort unless force_overwrite
+    (reference prompts interactively, main.py:36-41)."""
+    _patch_strict(monkeypatch)
+    cfg = base_config(fake_data)
+    ckpt_dir = tmp_path / "existing"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "log").write_text("previous run")
+    cfg["ckpt_dir"] = str(ckpt_dir)
+    cfg_path = tmp_path / "overwrite.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    with pytest.raises(RuntimeError, match="force_overwrite"):
+        run(parse_args_from_yaml(str(cfg_path)))
+    assert (ckpt_dir / "log").read_text() == "previous run"  # untouched
