@@ -405,7 +405,13 @@ def _next_elevated(geom: PermutohedralGeometry, cl: CloudLattice,
     keys = _unpack_keys(cl.vkeys_hi, cl.vkeys_lo, geom.d)  # (H, d1)
     keys = jnp.where(cl.vertex_valid[:, None], keys, 0)
     ratio = jnp.float32(next_scale) / jnp.float32(scale)
-    return keys.astype(jnp.float32) * ratio, cl.vertex_valid
+    # optimization_barrier: without it XLA contracts this multiply into the
+    # consumer's ``elevated - greedy`` subtraction as an FMA, feeding the
+    # *unrounded* product into the residual at exact-tie points (measured:
+    # el = -2.0000017 fused vs -2.0 eager for key*2/3), which flips simplex
+    # ranks and breaks jit==eager==reference parity at non-pow2 scale ratios.
+    elevated = jax.lax.optimization_barrier(keys.astype(jnp.float32) * ratio)
+    return elevated, cl.vertex_valid
 
 
 # ---------------------------------------------------------------------------

@@ -90,9 +90,14 @@ class PermutohedralGeometry:
         self.canonical = jnp.asarray(canonical_matrix(d))
 
     def elevate(self, points: jax.Array, scale: float) -> jax.Array:
-        """(N, d) metric points -> (N, d1) elevated coords at lattice ``scale``."""
+        """(N, d) metric points -> (N, d1) elevated coords at lattice ``scale``.
+
+        The optimization_barrier pins the rounded f32 elevated values: XLA
+        otherwise FMA-contracts the trailing multiply into downstream
+        residual subtractions, flipping rounding ties (see _next_elevated).
+        """
         scaled = points.astype(jnp.float32) * jnp.float32(scale)
-        return (
+        return jax.lax.optimization_barrier(
             jnp.matmul(scaled, self.elevate_mat.T, precision=jax.lax.Precision.HIGHEST)
             * jnp.float32(self.expected_std)
         )

@@ -213,3 +213,84 @@ def test_invalid_points_are_inert():
         np.asarray(cl_masked.lattice_offset)[100:], -1)
     np.testing.assert_array_equal(
         np.asarray(cl_masked.barycentric)[100:], 0.0)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seeds,rows", [
+    ((12, 13), [(2.0, 1, -1, -1), (1.0, 1, 1, 1), (0.5, 1, 1, 1)]),
+    ((20, 21), [(3.0, 1, -1, -1), (2.0, 1, -1, -1), (1.0, 1, 1, 1),
+                (0.5, 1, 1, 1), (0.25, 1, 1, 1)]),
+])
+def test_pyramid_tables_match_oracle(seeds, rows):
+    """Exact blur/corr TABLE parity (modulo id permutation) at EVERY scale.
+
+    The oracle chain replays the elementwise key*ratio derivation of deeper
+    scales' elevated coords (reference semantics transforms.py:213-241,
+    461-469 — but bit-deterministic, see _next_elevated), so table equality
+    must be exact, not just count equality.  Restores the round-1 test.
+    """
+    pts1 = random_cloud(192, seed=seeds[0])
+    pts2 = random_cloud(192, seed=seeds[1])
+    spec = LatticeSpec(d=3, scales=tuple(
+        ScaleSpec(s, b, f, c, capacity=4096) for (s, b, f, c) in rows))
+    got = jax.jit(lambda a, b: build_pyramid(spec, a, b))(
+        jnp.asarray(pts1), jnp.asarray(pts2))
+
+    def recover_perm(want_off, got_off, n_vertices):
+        pairs = {}
+        for a, b in zip(want_off.ravel(), got_off.ravel()):
+            assert b >= 0
+            assert pairs.setdefault(int(a), int(b)) == int(b)
+        assert len(set(pairs.values())) == len(pairs)
+        perm = np.full(n_vertices, -1, dtype=np.int64)
+        for a, b in pairs.items():
+            perm[a] = b
+        assert (perm >= 0).all()
+        return perm
+
+    exp_std = np.float32(4 * np.sqrt(2.0 / 3.0))
+    E = oracle.elevation_matrix_np(3)
+
+    def elev0(pts, s0):
+        return ((pts * np.float32(s0)) @ E.T.astype(np.float32)) * exp_std
+
+    elev1, elev2 = elev0(pts1, rows[0][0]), elev0(pts2, rows[0][0])
+    for i, (scale, br, fr, cr) in enumerate(rows):
+        k1, _, _ = oracle.simplex_from_elevated_np(elev1)
+        k2, _, _ = oracle.simplex_from_elevated_np(elev2)
+        tab = oracle.build_tables_np(k1, k2, br, fr, cr)
+        sp = got[i]
+        n1, n2 = k1.shape[0], k2.shape[0]
+        h1, h2 = len(tab["pc1_keys"]), len(tab["pc2_keys"])
+
+        assert int(np.asarray(sp.pc1_num_valid)) == h1, f"scale {i}"
+        assert int(np.asarray(sp.pc2_num_valid)) == h2, f"scale {i}"
+
+        got_off1 = np.asarray(sp.pc1_lattice_offset)[:n1]
+        got_off2 = np.asarray(sp.pc2_lattice_offset)[:n2]
+        perm1 = recover_perm(tab["pc1_lattice_offset"], got_off1, h1)
+        perm2 = recover_perm(tab["pc2_lattice_offset"], got_off2, h2)
+
+        np.testing.assert_array_equal(
+            np.asarray(sp.pc1_blur_neighbors)[:, perm1].T,
+            _map_ids(perm1, tab["pc1_blur_neighbors"]), err_msg=f"scale {i}")
+        np.testing.assert_array_equal(
+            np.asarray(sp.pc2_blur_neighbors)[:, perm2].T,
+            _map_ids(perm2, tab["pc2_blur_neighbors"]), err_msg=f"scale {i}")
+
+        if fr != -1:
+            np.testing.assert_array_equal(
+                np.asarray(sp.pc1_corr_indices)[:, perm1].T,
+                _map_ids(perm1, tab["pc1_corr_indices"]),
+                err_msg=f"scale {i}")
+            np.testing.assert_array_equal(
+                np.asarray(sp.pc2_corr_indices)[:, :, perm1].transpose(0, 2, 1),
+                _map_ids(perm2, tab["pc2_corr_indices"]),
+                err_msg=f"scale {i}")
+
+        if i + 1 < len(rows):
+            ratio = np.float32(rows[i + 1][0]) / np.float32(scale)
+            elev1 = np.unique(k1.reshape(-1, 4), axis=0).astype(np.float32) * ratio
+            elev2 = np.unique(k2.reshape(-1, 4), axis=0).astype(np.float32) * ratio
