@@ -70,24 +70,8 @@ def corr_np(p, sp, feat1, feat2, prev, prev_dim):
     )
 
 
-def test_full_shallow_forward_matches_numpy_oracle():
-    rng = np.random.RandomState(0)
-    n = 64
-    pc1 = (rng.randn(n, 3) * 2.0).astype(np.float32)
-    pc2 = pc1 + 0.05 * rng.randn(n, 3).astype(np.float32)
-
-    spec = LatticeSpec(d=3, scales=tuple(
-        ScaleSpec(s, b, f, c, capacity=cap)
-        for (s, b, f, c), cap in zip(SFM5, [320, 320, 256, 128, 128])))
-    model = HPLFlowNetShallow(scales_filter_map=SFM5)
-
-    j1, j2 = jnp.asarray(pc1), jnp.asarray(pc2)
-    scales = build_pyramid(spec, j1, j2)
-    params = model.init(jax.random.PRNGKey(0), j1, j2, scales)
-    got = np.asarray(model.apply(params, j1, j2, scales))
-
-    p = params["params"]
-
+def shallow_oracle_forward(p, scales, pc1, pc2):
+    """Numpy-oracle composition of the full shallow topology."""
     feat1 = mlp_np(p["conv1"], pc1, 3)
     feat2 = mlp_np(p["conv1"], pc2, 3)
 
@@ -127,10 +111,54 @@ def test_full_shallow_forward_matches_numpy_oracle():
 
     out = mlp_np(p["conv2"], out, 1)
     out = mlp_np(p["conv3"], out, 1)
-    want = mlp_np(p["conv4"], out, 1, last_act=False)
+    return mlp_np(p["conv4"], out, 1, last_act=False)
 
-    assert got.shape == want.shape == (n, 3)
+
+def _setup(n=64, seed=0):
+    rng = np.random.RandomState(seed)
+    pc1 = (rng.randn(n, 3) * 2.0).astype(np.float32)
+    pc2 = pc1 + 0.05 * rng.randn(n, 3).astype(np.float32)
+    spec = LatticeSpec(d=3, scales=tuple(
+        ScaleSpec(s, b, f, c, capacity=cap)
+        for (s, b, f, c), cap in zip(SFM5, [320, 320, 256, 128, 128])))
+    model = HPLFlowNetShallow(scales_filter_map=SFM5)
+    j1, j2 = jnp.asarray(pc1), jnp.asarray(pc2)
+    scales = build_pyramid(spec, j1, j2)
+    return model, scales, pc1, pc2, j1, j2
+
+
+def _assert_forward_matches_oracle(model, params, scales, pc1, pc2, j1, j2):
+    got = np.asarray(model.apply(params, j1, j2, scales))
+    want = shallow_oracle_forward(params["params"], scales, pc1, pc2)
+    assert got.shape == want.shape == (pc1.shape[0], 3)
     np.testing.assert_allclose(got, want, atol=5e-3)
     # the flows should be essentially identical relative to their scale
     denom = np.abs(want).max()
     assert np.abs(got - want).max() / denom < 2e-2
+
+
+def test_full_shallow_forward_matches_numpy_oracle():
+    model, scales, pc1, pc2, j1, j2 = _setup()
+    params = model.init(jax.random.PRNGKey(0), j1, j2, scales)
+    _assert_forward_matches_oracle(model, params, scales, pc1, pc2, j1, j2)
+
+
+def test_ported_reference_weights_forward_matches_numpy_oracle():
+    """Output-fidelity gate for the weight porter (no torch, no egress):
+    synthesize a full reference-layout state dict covering all 4 conv
+    layouts (HPLFlowNet.py:21-236, module_utils.py:9-59), port it with
+    tools/port_torch_weights.port_state_dict, and require the model's
+    output through those exact weights to match the numpy-oracle forward.
+    A transposed kernel, swapped tap axis, or misrouted module would show
+    up here as a large output mismatch, not just a shape accident."""
+    import jax.tree_util as jtu
+    from tests.test_io_and_port import (_fake_reference_state_dict,
+                                        port_state_dict)
+
+    model, scales, pc1, pc2, j1, j2 = _setup(seed=4)
+    ported = port_state_dict(_fake_reference_state_dict())
+    ported = jtu.tree_map(jnp.asarray, ported)
+    # guard against silent re-initialization: weights must be the synthetic
+    # ones, not zeros/xavier draws
+    assert float(np.abs(ported["params"]["conv4"]["dense0_bias"]).sum()) > 0
+    _assert_forward_matches_oracle(model, ported, scales, pc1, pc2, j1, j2)

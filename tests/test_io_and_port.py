@@ -64,18 +64,24 @@ def _fake_reference_state_dict():
     rng = np.random.RandomState(0)
     sd = {}
 
+    def w(shape, fan_in):
+        # fan-in scaling keeps activations O(1) through the deep stack so
+        # the output-fidelity comparison is meaningful (raw unit normals
+        # blow up to ~1e30 by the head)
+        return (rng.randn(*shape) / np.sqrt(fan_in)).astype(np.float32)
+
     def conv1d(name, cin, cout, relu=True):
         base = f"{name}.composed_module.0" if relu else name
-        sd[f"{base}.weight"] = rng.randn(cout, cin, 1).astype(np.float32)
-        sd[f"{base}.bias"] = rng.randn(cout).astype(np.float32)
+        sd[f"{base}.weight"] = w((cout, cin, 1), cin)
+        sd[f"{base}.bias"] = 0.1 * rng.randn(cout).astype(np.float32)
 
     def conv2d(name, cin, cout, k):
-        sd[f"{name}.weight"] = rng.randn(cout, cin, k, 1).astype(np.float32)
-        sd[f"{name}.bias"] = rng.randn(cout).astype(np.float32)
+        sd[f"{name}.weight"] = w((cout, cin, k, 1), cin * k)
+        sd[f"{name}.bias"] = 0.1 * rng.randn(cout).astype(np.float32)
 
     def conv3d(name, cin, cout, k):
-        sd[f"{name}.weight"] = rng.randn(cout, cin, 1, k, 1).astype(np.float32)
-        sd[f"{name}.bias"] = rng.randn(cout).astype(np.float32)
+        sd[f"{name}.weight"] = w((cout, cin, 1, k, 1), cin * k)
+        sd[f"{name}.bias"] = 0.1 * rng.randn(cout).astype(np.float32)
 
     # conv1 point MLP 3->32->32->64
     conv1d("module.conv1.0", 3, 32)
@@ -106,8 +112,8 @@ def _fake_reference_state_dict():
 
     conv1d("module.conv2", 128, 1024)
     conv1d("module.conv3", 1024, 512)
-    sd["module.conv4.weight"] = rng.randn(3, 512, 1).astype(np.float32)
-    sd["module.conv4.bias"] = rng.randn(3).astype(np.float32)
+    sd["module.conv4.weight"] = w((3, 512, 1), 512)
+    sd["module.conv4.bias"] = 0.1 * rng.randn(3).astype(np.float32)
     return sd
 
 

@@ -1,8 +1,10 @@
 """Op-level TPU microbenchmarks at the real model shapes.
 
-Times each op class (blur gather+matmul, pure matmul, corr, splat, slice,
-pyramid per-scale) via the queue-depth marginal protocol.  Guides kernel
-work: compare each op against its speed-of-light (MXU flops / HBM bytes).
+Each op is repeated REPS times *inside one jit* via lax.scan with a scalar
+carry perturbing an input (prevents CSE/hoisting), so one launch amortizes
+dispatch overhead; the marginal launch time over queue depths then divides
+by REPS.  (Per-launch timing of sub-ms ops through the axon tunnel was
+noise — it measured negative marginals.)
 """
 
 import sys
@@ -14,6 +16,27 @@ sys.path.insert(0, "/root/repo")
 
 from bench import CAPACITIES, NUM_POINTS, SFM7, synthetic_frustum_clouds, _log
 from tools.profile_breakdown import marginal_ms
+
+REPS = 16
+
+
+def repeated(fn, perturb_idx=0):
+    """Wrap fn(*args) -> scan of REPS applications, carry perturbs one arg."""
+    import jax
+    import jax.numpy as jnp
+
+    def wrapped(*args):
+        def body(carry, _):
+            a = list(args)
+            x = a[perturb_idx]
+            a[perturb_idx] = x + carry.astype(x.dtype)
+            out = fn(*a)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            new_carry = leaf.reshape(-1)[0].astype(jnp.float32) * 1e-30
+            return new_carry, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
+        return c
+    return wrapped
 
 
 def main():
@@ -41,13 +64,13 @@ def main():
 
     results = {}
 
-    def bench(name, fn, *args):
-        jfn = jax.jit(fn)
-        ms = marginal_ms(jfn, args)
-        results[name] = ms
-        _log(f"{name:42s} {ms:8.3f} ms")
+    def bench(name, fn, *args, perturb_idx=0):
+        jfn = jax.jit(repeated(fn, perturb_idx))
+        ms = marginal_ms(jfn, args, lo=2, hi=6) / REPS
+        results[name] = round(ms, 4)
+        _log(f"{name:44s} {ms:8.3f} ms")
 
-    # ---- blur shapes: down path (68->64) and fattest up path (580->1024)
+    # ---- blur shapes: down path (68->64) and the up path
     for name, h_idx, c_in, c_out in (
         ("blur_down_s0 (26624,68->64)", 0, 68, 64),
         ("blur_down_s1 (32768,68->64)", 1, 68, 64),
@@ -71,7 +94,9 @@ def main():
     ):
         x = jnp.asarray(rng.randn(h, fc_in), dt)
         w = jnp.asarray(rng.randn(fc_in, c_out), dt)
-        bench(name, lambda x, w: jnp.dot(x, w, preferred_element_type=jnp.float32), x, w)
+        bench(name, lambda x, w: jnp.dot(x, w,
+                                         preferred_element_type=jnp.float32),
+              x, w)
 
     # ---- pure gather of the blur pattern (isolate gather cost)
     for name, h_idx, c_in in (
@@ -103,21 +128,25 @@ def main():
     feats = jnp.asarray(rng.randn(n, 68), jnp.float32)
     bench("splat_s0 (8192x4 -> 26624, 68ch)",
           lambda f: splat(f, sp0.pc1_barycentric, sp0.pc1_splat_plan), feats)
-    blurred = jnp.asarray(rng.randn(CAPACITIES[0], 1024), jnp.float32)
-    bench("slice_s0 (26624 -> 8192, 1024ch)",
-          lambda bl: slice_to_points(bl, sp0.pc1_barycentric,
-                                     sp0.pc1_lattice_offset,
-                                     sp0.pc1_splat_plan), blurred)
+    for cdt, tag in ((jnp.float32, "f32"), (dt, "bf16")):
+        blurred = jnp.asarray(rng.randn(CAPACITIES[0], 1024), cdt)
+        bench(f"slice_s0 (26624 -> 8192, 1024ch {tag})",
+              lambda bl: slice_to_points(bl, sp0.pc1_barycentric,
+                                         sp0.pc1_lattice_offset,
+                                         sp0.pc1_splat_plan), blurred)
 
-    # ---- pyramid cumulative per-scale cost
-    prev = 0.0
-    for k in range(1, 8):
-        sub = LatticeSpec(d=3, scales=spec.scales[:k])
-        fn = jax.jit(lambda x, y, s=sub: build_pyramid(s, x, y,
-                                                       adjoint_plans=False))
-        ms = marginal_ms(fn, (a, b))
-        _log(f"pyramid scales[0:{k}]: {ms:8.2f} ms (marginal {ms-prev:+.2f})")
-        prev = ms
+    # ---- raw 4-key sort at probe scale (probe cost model)
+    for m in (131072, 425984, 880000):
+        hi = jnp.asarray(rng.randint(-3000, 3000, m), jnp.int32)
+        lo = jnp.asarray(rng.randint(0, 2**30, m), jnp.int32)
+        tg = jnp.asarray(rng.randint(0, 2, m), jnp.int32)
+        ps = jnp.arange(m, dtype=jnp.int32)
+        bench(f"sort4x{m}",
+              lambda a, b, c, d: jax.lax.sort((a, b, c, d), num_keys=3)[0],
+              hi, lo, tg, ps)
+        bench(f"sort2x{m}",
+              lambda a, b: jax.lax.sort((a, b), num_keys=1)[0],
+              hi, ps)
 
     print("RESULTS", results)
 
