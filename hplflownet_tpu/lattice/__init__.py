@@ -15,4 +15,5 @@ from .build import (  # noqa: F401
     build_cloud_lattice,
     build_pyramid,
     default_capacities,
+    probe_sharding,
 )

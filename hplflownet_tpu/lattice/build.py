@@ -26,6 +26,8 @@ pad 8.5x in HBM (measured: 45MB tables ballooning to 390MB).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import NamedTuple, Sequence
 
 import jax
@@ -37,6 +39,7 @@ from .offsets import neighborhood_offsets
 from ..ops.segment import ReducePlan, make_reduce_plan
 
 __all__ = [
+    "probe_sharding",
     "ScaleSpec",
     "LatticeSpec",
     "CloudLattice",
@@ -101,7 +104,14 @@ class ScalePair(NamedTuple):
     pc1_blur_neighbors: jax.Array  # (F, H1) i32 or (1, 1) when blur disabled
     pc2_blur_neighbors: jax.Array  # (F, H2) i32
     pc1_corr_indices: jax.Array    # (Cc, H1) i32 or (1, 1)
-    pc2_corr_indices: jax.Array    # (F, Cc, H1) i32 or (1, 1, 1)
+    # cross-cloud correlation table in unique-offset form: the F x Cc
+    # combined stencil offsets collapse to U distinct ones (225 -> 65 for the
+    # radius-1 stencils), so only the U distinct index rows are stored /
+    # gathered; pc2_corr_inverse maps (f, c) -> u.  The dense equivalent of
+    # the reference's (filter_size, corr_size, H1) table
+    # (transforms.py:223-241) is pc2_corr_uniq[pc2_corr_inverse].
+    pc2_corr_uniq: jax.Array       # (U, H1) i32 or (1, 1)
+    pc2_corr_inverse: jax.Array    # (F, Cc) i32 or (1, 1)
     pc1_num_valid: jax.Array       # () i32
     pc2_num_valid: jax.Array       # () i32
     pc1_overflow: jax.Array        # () i32
@@ -110,8 +120,12 @@ class ScalePair(NamedTuple):
     pc1_splat_plan: ReducePlan     # lattice_offset1 -> H1 (splat fwd + slice bwd)
     pc2_splat_plan: ReducePlan     # lattice_offset2 -> H2
     pc1_corr_plan: ReducePlan      # pc1_corr_indices -> H1 (corr spread1 bwd)
-    pc2_corr_plan: ReducePlan      # per-tap plans, leaves stacked over F:
-                                   # pc2_corr_indices[f] -> H2 (spread2 bwd)
+    pc2_corr_plan: ReducePlan      # per-unique-offset plans, leaves stacked
+                                   # over U: pc2_corr_uniq[u] -> H2
+
+    def pc2_corr_indices_full(self):
+        """Dense (F, Cc, H1) cross-corr table (reference layout), for tests."""
+        return self.pc2_corr_uniq[self.pc2_corr_inverse]
 
 
 # ---------------------------------------------------------------------------
@@ -184,54 +198,110 @@ def _unpack_keys(hi: jax.Array, lo: jax.Array, d: int) -> jax.Array:
 # sorted-table probe (sort-merge join)
 # ---------------------------------------------------------------------------
 
+_TAG_SHIFT = 28  # positions fit in 28 bits (< 268M probe entries)
+
+# Trace-time hook: when set to (mesh, axis), stencil probes are shard_mapped
+# over their leading (tap) axis — each device sorts only its taps' queries
+# against a replicated copy of the small key table.  The probes are the
+# pyramid's dominant cost and are independent across taps, so this shards
+# the real build work (SURVEY.md section 5's SP analog), not just storage.
+_PROBE_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "probe_mesh", default=None)
+
+
+@contextlib.contextmanager
+def probe_sharding(mesh, axis: str = "lattice"):
+    """Shard pyramid stencil probes over ``axis`` for the enclosed trace."""
+    token = _PROBE_MESH.set((mesh, axis))
+    try:
+        yield
+    finally:
+        _PROBE_MESH.reset(token)
+
+
+def _probe_dispatch(vhi, vlo, qhi, qlo):
+    """Route to the plain probe or the tap-sharded shard_map version."""
+    cfg = _PROBE_MESH.get()
+    if cfg is None or qhi.ndim != 2:
+        return _probe(vhi, vlo, qhi, qlo)
+    mesh, axis = cfg
+    n_shards = mesh.shape[axis]
+    if n_shards == 1:
+        return _probe(vhi, vlo, qhi, qlo)
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map as _sm
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _sm(f, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sme
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _sme(f, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_rep=False)
+
+    f, h = qhi.shape
+    pad = (-f) % n_shards
+    if pad:
+        # sentinel queries: sort last, match nothing real
+        filler = jnp.full((pad, h), _SENTINEL, jnp.int32)
+        qhi = jnp.concatenate([qhi, filler])
+        qlo = jnp.concatenate([qlo, filler])
+
+    fn = shard_map(
+        _probe, mesh,
+        (P(), P(), P(axis), P(axis)),
+        (P(axis), P(axis)))
+    idx, found = fn(vhi, vlo, qhi, qlo)
+    return idx[:f], found[:f]
+
+
 def _probe(vhi: jax.Array, vlo: jax.Array, qhi: jax.Array, qlo: jax.Array):
     """Find each query key in the sorted vertex table.
 
     Returns ``(idx, found)``: dense vertex id (int32, arbitrary where not
     found) and a bool mask, shaped like the queries.
 
-    Implemented as a sort-merge join: co-sort table and query keys (table
-    entries before equal queries), take a cumulative count of table entries,
-    propagate the most recent table key with an associative "latest" scan,
-    compare in place, and unsort.  TPU sorts are ~100x cheaper than the
-    random gathers a vectorized binary search performs (measured: 0.34 ms to
-    sort 400k pairs vs 39 ms for a 15-step search over the same queries).
+    Sort-merge join with the table inserted TWICE around the queries —
+    tag 0 copies sort before equal-key queries, tag 2 copies after — so for
+    a query ``q``: ``count(tag0 <= q)`` counts table keys ``<= q`` and
+    ``count(tag2 <= q)`` counts table keys ``< q``; the key exists iff they
+    differ, and the dense id is ``count(tag0) - 1``.  Everything is one
+    3-array sort + two cumsums + one 2-array unsort: no associative_scan, no
+    random gathers (TPU sorts are ~100x cheaper than random gathers:
+    0.34 ms to sort 400k pairs vs 39 ms for a 15-step binary search; table
+    keys are unique so the duplicate copy only grows the sort ~6% for the
+    15-tap probes).  (tag, position) share one int32 word so the sort moves
+    3 arrays, not 4.
     """
     shape = qhi.shape
     qh = qhi.reshape(-1)
     ql = qlo.reshape(-1)
     n_t = vhi.shape[0]
     n_q = qh.shape[0]
+    assert max(n_t, n_q) < (1 << _TAG_SHIFT)
 
-    hi = jnp.concatenate([vhi, qh])
-    lo = jnp.concatenate([vlo, ql])
-    tag = jnp.concatenate([jnp.zeros(n_t, jnp.int32),
-                           jnp.ones(n_q, jnp.int32)])
-    pos = jnp.concatenate([jnp.arange(n_t, dtype=jnp.int32),
-                           jnp.arange(n_q, dtype=jnp.int32)])
-    shi, slo, stag, spos = jax.lax.sort((hi, lo, tag, pos), num_keys=3)
+    hi = jnp.concatenate([vhi, qh, vhi])
+    lo = jnp.concatenate([vlo, ql, vlo])
+    tpos = jnp.arange(n_t, dtype=jnp.int32)
+    qpos = jnp.arange(n_q, dtype=jnp.int32)
+    word = jnp.concatenate([
+        tpos,                                   # tag 0: table, before queries
+        qpos + jnp.int32(1 << _TAG_SHIFT),      # tag 1: queries
+        tpos + jnp.int32(2 << _TAG_SHIFT),      # tag 2: table, after queries
+    ])
+    _, _, sword = jax.lax.sort((hi, lo, word), num_keys=3)
 
-    is_table = stag == 0
-    cnt = jnp.cumsum(is_table.astype(jnp.int32))            # table keys <= q
+    le = jnp.cumsum((sword < (1 << _TAG_SHIFT)).astype(jnp.int32))
+    lt = jnp.cumsum((sword >= (2 << _TAG_SHIFT)).astype(jnp.int32))
+    found_s = le > lt
+    # pack (found, idx) into one int32 payload: idx+1 if found else 0
+    res_s = jnp.where(found_s, le, 0)
 
-    def latest(a, b):
-        ahi, alo, av = a
-        bhi, blo, bv = b
-        keep = bv
-        return (jnp.where(keep, bhi, ahi), jnp.where(keep, blo, alo),
-                av | bv)
-
-    lhi, llo, lseen = jax.lax.associative_scan(
-        latest, (shi, slo, is_table))
-    found_s = lseen & (lhi == shi) & (llo == slo)
-    idx_s = jnp.where(found_s, cnt - 1, 0)
-
-    # unsort queries back to their original order
-    _, _, out_idx, out_found = jax.lax.sort(
-        (stag, spos, idx_s, found_s.astype(jnp.int32)), num_keys=2)
-    idx = out_idx[n_t:].reshape(shape)
-    found = out_found[n_t:].reshape(shape).astype(bool)
-    return idx, found
+    # unsort by the unique word; queries land at positions [n_t, n_t + n_q)
+    _, res = jax.lax.sort((sword, res_s), num_keys=1)
+    res_q = res[n_t:n_t + n_q].reshape(shape)
+    return res_q - 1, res_q > 0
 
 
 # ---------------------------------------------------------------------------
@@ -341,12 +411,19 @@ def _build_from_elevated(
 
 def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int) -> jax.Array:
     """(F, H) blur-neighbor ids for one cloud; -1 where the neighbor is absent."""
-    dhi, dlo = _pack_deltas(offsets, d)                    # (F,)
-    qhi = dhi[:, None] + cl.vkeys_hi[None, :]              # (F, H)
+    # the stencil's first offset is the zero offset (identity tap: each valid
+    # vertex maps to itself) — fill it directly and probe only the rest
+    assert not offsets[0].any(), "stencil row 0 must be the zero offset"
+    dhi, dlo = _pack_deltas(offsets[1:], d)                # (F-1,)
+    qhi = dhi[:, None] + cl.vkeys_hi[None, :]              # (F-1, H)
     qlo = dlo[:, None] + cl.vkeys_lo[None, :]
-    idx, found = _probe(cl.vkeys_hi, cl.vkeys_lo, qhi, qlo)
+    idx, found = _probe_dispatch(cl.vkeys_hi, cl.vkeys_lo, qhi, qlo)
     ok = found & cl.vertex_valid[None, :]
-    return jnp.where(ok, idx, -1).astype(jnp.int32)
+    h = cl.vkeys_hi.shape[0]
+    iota = jnp.arange(h, dtype=jnp.int32)
+    self_row = jnp.where(cl.vertex_valid, iota, -1)[None, :]
+    rest = jnp.where(ok, idx, -1).astype(jnp.int32)
+    return jnp.concatenate([self_row, rest], axis=0)
 
 
 def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
@@ -365,14 +442,15 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
         chi, clo = _pack_deltas(corr_offsets, d)           # (Cc,)
         center_hi = chi[:, None] + cl1.vkeys_hi[None, :]   # (Cc, H1)
         center_lo = clo[:, None] + cl1.vkeys_lo[None, :]
-        idx1, found1 = _probe(cl1.vkeys_hi, cl1.vkeys_lo,
-                              center_hi, center_lo)
+        idx1, found1 = _probe_dispatch(cl1.vkeys_hi, cl1.vkeys_lo,
+                                       center_hi, center_lo)
         ok1 = found1 & cl1.vertex_valid[None, :]
         pc1_corr = jnp.where(ok1, idx1, -1).astype(jnp.int32)
 
     # the F x Cc combined offsets collapse heavily (225 -> 65 for the radius-1
-    # stencils): probe only the distinct combined offsets and remap — the
-    # binary-search probes dominate pyramid time, the remap is one gather
+    # stencils): probe only the distinct combined offsets and keep the table
+    # in unique-offset form — downstream ops gather (U, H1) instead of
+    # (F, Cc, H1) and fold the static inverse map into the kernel tensor
     combined = (filter_offsets[:, None, :].astype(np.int64)
                 + corr_offsets[None, :, :]).reshape(-1, corr_offsets.shape[1])
     uniq, inverse = np.unique(combined, axis=0, return_inverse=True)
@@ -380,14 +458,13 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
 
     qhi = uhi[:, None] + cl1.vkeys_hi[None, :]              # (U, H1)
     qlo = ulo[:, None] + cl1.vkeys_lo[None, :]
-    idx2, found2 = _probe(cl2.vkeys_hi, cl2.vkeys_lo, qhi, qlo)
+    idx2, found2 = _probe_dispatch(cl2.vkeys_hi, cl2.vkeys_lo, qhi, qlo)
     ok2 = found2 & cl1.vertex_valid[None, :]
     uniq_tab = jnp.where(ok2, idx2, -1).astype(jnp.int32)   # (U, H1)
 
     nf, nc = filter_offsets.shape[0], corr_offsets.shape[0]
-    pc2_corr = uniq_tab[jnp.asarray(inverse.astype(np.int32))].reshape(
-        nf, nc, -1)
-    return pc1_corr, pc2_corr
+    inverse = jnp.asarray(inverse.astype(np.int32).reshape(nf, nc))
+    return pc1_corr, uniq_tab, inverse
 
 
 def _next_elevated(geom: PermutohedralGeometry, cl: CloudLattice,
@@ -473,24 +550,26 @@ def build_pyramid(
             if ss.corr_corr_radius == ss.blur_radius and ss.blur_radius != -1:
                 # identical stencil + identical table => pc1_corr == blur
                 # neighbors; skip Cc*H probes (default config has all radii 1)
-                corr1, corr2 = _corr_tables(cl1, cl2, f_offs, c_offs, spec.d,
-                                            pc1_corr=nb1)
+                corr1, corr2u, corr2inv = _corr_tables(
+                    cl1, cl2, f_offs, c_offs, spec.d, pc1_corr=nb1)
             else:
-                corr1, corr2 = _corr_tables(cl1, cl2, f_offs, c_offs, spec.d)
+                corr1, corr2u, corr2inv = _corr_tables(
+                    cl1, cl2, f_offs, c_offs, spec.d)
             if adjoint_plans:
                 corr1_plan = make_reduce_plan(corr1, ss.capacity)
-                # per-displacement-tap plans for the spread2 adjoint (a
-                # single plan over all F*Cc*H entries would need the full
-                # gradient buffer materialized at once)
+                # per-unique-offset plans for the spread2 adjoint (a single
+                # plan over all U*H entries would need the full gradient
+                # buffer materialized at once)
                 corr2_plan = jax.vmap(
-                    lambda t: make_reduce_plan(t, ss.capacity))(corr2)
+                    lambda t: make_reduce_plan(t, ss.capacity))(corr2u)
             else:
                 corr1_plan = dummy_plan
                 corr2_plan = jax.tree_util.tree_map(
                     lambda x: x[None], dummy_plan)
         else:
             corr1 = jnp.zeros((1, 1), dtype=jnp.int32)
-            corr2 = jnp.zeros((1, 1, 1), dtype=jnp.int32)
+            corr2u = jnp.zeros((1, 1), dtype=jnp.int32)
+            corr2inv = jnp.zeros((1, 1), dtype=jnp.int32)
             corr1_plan = dummy_plan
             corr2_plan = jax.tree_util.tree_map(lambda x: x[None], dummy_plan)
 
@@ -504,7 +583,8 @@ def build_pyramid(
             pc1_blur_neighbors=nb1,
             pc2_blur_neighbors=nb2,
             pc1_corr_indices=corr1,
-            pc2_corr_indices=corr2,
+            pc2_corr_uniq=corr2u,
+            pc2_corr_inverse=corr2inv,
             pc1_num_valid=cl1.num_valid,
             pc2_num_valid=cl2.num_valid,
             pc1_overflow=cl1.overflow,

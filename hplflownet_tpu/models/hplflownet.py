@@ -138,7 +138,8 @@ class HPLFlowNet(nn.Module):
                 barycentric1=sp.pc1_barycentric,
                 splat_plan1=sp.pc1_splat_plan,
                 pc1_corr_indices=sp.pc1_corr_indices,
-                pc2_corr_indices=sp.pc2_corr_indices,
+                pc2_corr_uniq=sp.pc2_corr_uniq,
+                pc2_corr_inverse=sp.pc2_corr_inverse,
                 pc1_corr_plan=sp.pc1_corr_plan,
                 pc2_corr_plan=sp.pc2_corr_plan)
 

@@ -120,14 +120,14 @@ def blur_matmul(
 
 
 def _blur_fwd_impl(splatted_pad, neighbors, kernel, bias):
-    # one (H, F, C_in) row-gather + one MXU matmul over the flattened
-    # (stencil x channel) axis — one big op beats an F-step scan of small
-    # gathers+matmuls on TPU
-    f, capacity = neighbors.shape
-    c_in = splatted_pad.shape[1]
-    spread = splatted_pad[neighbors.T + 1].reshape(capacity, f * c_in)
-    out = jnp.dot(spread, kernel.reshape(f * c_in, -1),
-                  preferred_element_type=jnp.float32)
+    # tap-major (F, H, C) row-gather + one dot_general contracting (f, c):
+    # each tap's index run is monotone (the vertex table is key-sorted, so
+    # table position of key+delta is increasing in position of key), which
+    # the TPU gather emitter exploits — measured 4.3 ms vs 6.1 ms for the
+    # h-major gather+reshape at the (26624, 580->1024) decoder shape
+    spread = splatted_pad[neighbors + 1]                   # (F, H, C_in)
+    out = jax.lax.dot_general(spread, kernel, (((0, 2), (0, 1)), ((), ())),
+                              preferred_element_type=jnp.float32)
     return _constrain_vertices(out + bias.astype(jnp.float32))
 
 
@@ -144,24 +144,22 @@ def _blur_bwd(tap_negation, res, g):
     dropped by the concat adjoint upstream, so we return zeros there.
     """
     splatted_pad, neighbors, kernel = res
-    f, capacity = neighbors.shape
     c_in = splatted_pad.shape[1]
-    c_out = kernel.shape[-1]
     neg = jnp.asarray(tap_negation, dtype=jnp.int32)
     gc = g.astype(splatted_pad.dtype)          # mixed-precision backward
     g_pad = jnp.concatenate([jnp.zeros((1, gc.shape[1]), gc.dtype), gc],
                             axis=0)
 
-    # dW: recompute the spread (remat) and contract the vertex axis
-    spread = splatted_pad[neighbors.T + 1].reshape(capacity, f * c_in)
-    d_kernel = jnp.dot(spread.T, gc,
-                       preferred_element_type=jnp.float32).reshape(
-                           f, c_in, c_out)
+    # dW: recompute the tap-major spread (remat) and contract the vertex axis
+    spread = splatted_pad[neighbors + 1]                   # (F, H, C_in)
+    d_kernel = jax.lax.dot_general(spread, gc, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
 
-    # d_splat via the negated-tap gather: same single-matmul structure
-    g_spread = g_pad[neighbors[neg].T + 1].reshape(capacity, f * c_out)
-    k_t = jnp.transpose(kernel, (0, 2, 1)).reshape(f * c_out, c_in)
-    d_sp = jnp.dot(g_spread, k_t, preferred_element_type=jnp.float32)
+    # d_splat via the negated-tap gather: same tap-major structure
+    g_spread = g_pad[neighbors[neg] + 1]                   # (F, H, C_out)
+    k_t = jnp.transpose(kernel, (0, 2, 1))                 # (F, C_out, C_in)
+    d_sp = jax.lax.dot_general(g_spread, k_t, (((0, 2), (0, 1)), ((), ())),
+                               preferred_element_type=jnp.float32)
     d_splatted_pad = jnp.concatenate(
         [jnp.zeros((1, c_in), jnp.float32), d_sp],
         axis=0).astype(splatted_pad.dtype)

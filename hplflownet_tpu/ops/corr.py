@@ -69,54 +69,57 @@ gather_rows.defvjp(_gather_fwd, _gather_bwd)
 
 @jax.custom_vjp
 def corr_cross(pad2: jax.Array,       # (H2+1, C)
-               indices: jax.Array,    # (F, Cc, H1)
-               k_cross: jax.Array,    # (Cc, C, W)
-               plans: ReducePlan      # leaves stacked over F, each -> H2
+               uniq_idx: jax.Array,   # (U, H1) unique-offset index rows
+               k2: jax.Array,         # (F, U, C, W) inverse-folded kernel
+               plans: ReducePlan      # leaves stacked over U, each -> H2
                ) -> jax.Array:
-    """cross[f] = einsum(pad2[indices[f] + 1], k_cross) -> (F, H1, W)."""
-    return _corr_cross_impl(pad2, indices, k_cross)
+    """cross[f, h] = sum_u pad2[uniq_idx[u, h] + 1] @ k2[f, u] -> (F, H1, W).
+
+    The F x Cc displaced patches of the reference (bnn_flow.py:195-197)
+    collapse onto U distinct combined offsets (225 -> 65 at radius 1), so
+    the gather moves a (U, H1, C) spread instead of (F, Cc, H1, C) — 3.5x
+    less HBM traffic — and the static (f, c) -> u map is pre-folded into
+    ``k2`` (see BilateralCorrelation).
+    """
+    return _corr_cross_impl(pad2, uniq_idx, k2)
 
 
-def _corr_cross_impl(pad2, indices, k_cross):
-    # one gather + one contraction; at the default capacities the (F, Cc,
-    # H1, C) spread peaks at ~380 MB bf16 — fine in HBM, and far fewer
-    # dispatches than a 15-step scan (the backward stays a scan to bound
-    # its memory by the per-tap reduce plans)
-    sp2 = pad2[indices + 1]                                 # (F, Cc, H1, C)
-    return jnp.einsum("fkhc,kcw->fhw", sp2, k_cross,
+def _corr_cross_impl(pad2, uniq_idx, k2):
+    sp2 = pad2[uniq_idx + 1]                                # (U, H1, C)
+    return jnp.einsum("uhc,fucw->fhw", sp2, k2,
                       preferred_element_type=jnp.float32)
 
 
-def _corr_cross_fwd(pad2, indices, k_cross, plans):
-    return _corr_cross_impl(pad2, indices, k_cross), (pad2, indices, k_cross,
-                                                      plans)
+def _corr_cross_fwd(pad2, uniq_idx, k2, plans):
+    return _corr_cross_impl(pad2, uniq_idx, k2), (pad2, uniq_idx, k2, plans)
 
 
 def _corr_cross_bwd(res, g):                                 # g: (F, H1, W)
-    pad2, indices, k_cross, plans = res
+    pad2, uniq_idx, k2, plans = res
     c = pad2.shape[1]
     h2 = pad2.shape[0] - 1
+    gc = g.astype(pad2.dtype)
 
     def step(carry, inputs):
-        d_rows_acc, dk_acc = carry
-        idx_f, plan_f, g_f = inputs
-        g_f = g_f.astype(pad2.dtype)
-        sp2 = pad2[idx_f + 1]                                # recompute
-        dk = jnp.einsum("khc,hw->kcw", sp2, g_f,
-                        preferred_element_type=jnp.float32)
-        dvals = jnp.einsum("hw,kcw->khc", g_f, k_cross,
+        d_rows_acc = carry
+        idx_u, plan_u, k2_u = inputs                         # k2_u: (F, C, W)
+        # d_spread[u] = einsum over (f, w); one unique offset at a time keeps
+        # peak memory at (H1, C) per step
+        dvals = jnp.einsum("fhw,fcw->hc", gc, k2_u,
                            preferred_element_type=jnp.float32)
-        d_rows = apply_reduce_plan(plan_f, dvals.reshape(-1, c))
-        return (d_rows_acc + d_rows, dk_acc + dk), None
+        d_rows = apply_reduce_plan(plan_u, dvals)
+        return d_rows_acc + d_rows, None
 
-    (d_rows, d_k), _ = jax.lax.scan(
-        step,
-        (jnp.zeros((h2, c), jnp.float32),
-         jnp.zeros(k_cross.shape, jnp.float32)),
-        (indices, plans, g))
+    d_rows, _ = jax.lax.scan(
+        step, jnp.zeros((h2, c), jnp.float32),
+        (uniq_idx, plans, jnp.swapaxes(k2, 0, 1)))
     d_pad2 = jnp.concatenate([jnp.zeros((1, c), jnp.float32), d_rows],
                              axis=0).astype(pad2.dtype)
-    return d_pad2, None, d_k.astype(k_cross.dtype), None
+
+    sp2 = pad2[uniq_idx + 1]                                 # recompute
+    d_k2 = jnp.einsum("uhc,fhw->fucw", sp2, gc,
+                      preferred_element_type=jnp.float32)
+    return d_pad2, None, d_k2.astype(k2.dtype), None
 
 
 corr_cross.defvjp(_corr_cross_fwd, _corr_cross_bwd)
@@ -155,7 +158,8 @@ class BilateralCorrelation(nn.Module):
         barycentric1: jax.Array | None,       # (N_in, d1)
         splat_plan1: ReducePlan | None,       # cloud-1 splat plan (prev splat)
         pc1_corr_indices: jax.Array,          # (Cc, H1)
-        pc2_corr_indices: jax.Array,          # (F, Cc, H1)
+        pc2_corr_uniq: jax.Array,             # (U, H1)
+        pc2_corr_inverse: jax.Array,          # (F, Cc) -> u
         pc1_corr_plan: ReducePlan | None = None,
         pc2_corr_plan: ReducePlan | None = None,
     ) -> jax.Array:
@@ -194,7 +198,13 @@ class BilateralCorrelation(nn.Module):
         a_self = jnp.einsum("khc,kcw->hw", spread1, k_self,
                             preferred_element_type=jnp.float32) + corr_bias
 
-        cross = corr_cross(pad2, pc2_corr_indices, k_cross, pc2_corr_plan)
+        # fold the static (f, c) -> u inverse map into the cross kernel:
+        # k2[f, u] = sum_{c : inverse[f, c] == u} k_cross[c]
+        n_uniq = pc2_corr_uniq.shape[0]
+        onehot = jax.nn.one_hot(pc2_corr_inverse, n_uniq, dtype=dt)
+        k2 = jnp.einsum("fku,kcw->fucw", onehot, k_cross,
+                        preferred_element_type=jnp.float32).astype(dt)
+        cross = corr_cross(pad2, pc2_corr_uniq, k2, pc2_corr_plan)
         y = act(a_self[None, :, :] + cross)                  # (F, H1, wc0)
 
         for i, w in enumerate(self.corr_widths[1:], start=1):

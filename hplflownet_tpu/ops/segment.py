@@ -69,19 +69,21 @@ def _run_bounds(sorted_ids: jax.Array, num_targets: int):
     """
     m = sorted_ids.shape[0]
     t = num_targets
+    assert max(m, t) < (1 << 28)
     targets = jnp.arange(t, dtype=jnp.int32)
-    # tag ordering within equal values: left queries (-1) < ids (0) < right (+1)
-    vals = jnp.concatenate([sorted_ids, targets, targets])
-    tags = jnp.concatenate([
-        jnp.zeros(m, jnp.int32),
-        jnp.full(t, -1, jnp.int32),
-        jnp.ones(t, jnp.int32),
+    # tag ordering within equal values: left queries < ids < right queries;
+    # (tag, position) share one int32 word so the sorts move 2 arrays each
+    vals = jnp.concatenate([targets, sorted_ids, targets])
+    word = jnp.concatenate([
+        targets,
+        jnp.arange(m, dtype=jnp.int32) + jnp.int32(1 << 28),
+        targets + jnp.int32(2 << 28),
     ])
-    pos = jnp.concatenate([jnp.arange(m, dtype=jnp.int32), targets, targets])
-    _, stags, spos = jax.lax.sort((vals, tags, pos), num_keys=3)
-    cnt = jnp.cumsum((stags == 0).astype(jnp.int32))
-    # unsort: group (left queries | ids | right queries), each by pos
-    _, _, counts = jax.lax.sort((stags, spos, cnt), num_keys=2)
+    _, sword = jax.lax.sort((vals, word), num_keys=2)
+    is_id = (sword >= (1 << 28)) & (sword < (2 << 28))
+    cnt = jnp.cumsum(is_id.astype(jnp.int32))
+    # unsort by the unique word: left queries land first, right queries last
+    _, counts = jax.lax.sort((sword, cnt), num_keys=1)
     start = counts[:t]              # ids strictly below target
     end = counts[m + t:]            # ids at or below target
     return start, end

@@ -62,7 +62,7 @@ def corr_np(p, sp, feat1, feat2, prev, prev_dim):
     return oracle.corr_np(
         feat1, feat2, prev_pad,
         np.asarray(sp.pc1_corr_indices).T,
-        np.asarray(sp.pc2_corr_indices).transpose(0, 2, 1),
+        np.asarray(sp.pc2_corr_indices_full()).transpose(0, 2, 1),
         np.asarray(p["corr0_kernel"]), np.asarray(p["corr0_bias"]),
         [],
         np.asarray(p["blur0_kernel"]), np.asarray(p["blur0_bias"]),

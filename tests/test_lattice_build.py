@@ -119,7 +119,7 @@ def test_single_scale_tables_match_oracle():
         np.asarray(sp.pc1_corr_indices)[:, perm].T,
         _map_ids(perm, tab["pc1_corr_indices"]))
     np.testing.assert_array_equal(
-        np.asarray(sp.pc2_corr_indices)[:, :, perm].transpose(0, 2, 1),
+        np.asarray(sp.pc2_corr_indices_full())[:, :, perm].transpose(0, 2, 1),
         _map_ids(perm2, tab["pc2_corr_indices"]))
 
     np.testing.assert_allclose(
@@ -286,7 +286,7 @@ def test_pyramid_tables_match_oracle(seeds, rows):
                 _map_ids(perm1, tab["pc1_corr_indices"]),
                 err_msg=f"scale {i}")
             np.testing.assert_array_equal(
-                np.asarray(sp.pc2_corr_indices)[:, :, perm1].transpose(0, 2, 1),
+                np.asarray(sp.pc2_corr_indices_full())[:, :, perm1].transpose(0, 2, 1),
                 _map_ids(perm2, tab["pc2_corr_indices"]),
                 err_msg=f"scale {i}")
 

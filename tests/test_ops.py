@@ -197,14 +197,21 @@ def test_gather_rows_and_corr_cross_grads():
     pad2 = jnp.asarray(rng.randn(cap + 1, c).astype(np.float32))
     pad2 = pad2.at[0].set(0.0)
     k_cross = jnp.asarray(rng.randn(15, c, w).astype(np.float32))
-    idx = sp.pc2_corr_indices                     # (F, Cc, H1)
+    uniq = sp.pc2_corr_uniq                       # (U, H1)
+    inv = sp.pc2_corr_inverse                     # (F, Cc)
+    idx_full = sp.pc2_corr_indices_full()         # (F, Cc, H1)
+    n_uniq = uniq.shape[0]
+
+    def k2_of(k):
+        onehot = jax.nn.one_hot(inv, n_uniq, dtype=k.dtype)
+        return jnp.einsum("fku,kcw->fucw", onehot, k)
 
     def ref(p2, k):
-        sp2 = p2[idx + 1]                         # (F, Cc, H1, C)
+        sp2 = p2[idx_full + 1]                    # (F, Cc, H1, C)
         return jnp.einsum("fkhc,kcw->fhw", sp2, k)
 
     def ours(p2, k):
-        return corr_cross(p2, idx, k, sp.pc2_corr_plan)
+        return corr_cross(p2, uniq, k2_of(k), sp.pc2_corr_plan)
 
     np.testing.assert_allclose(np.asarray(ours(pad2, k_cross)),
                                np.asarray(ref(pad2, k_cross)), atol=1e-4)
@@ -282,7 +289,8 @@ def test_bilateral_correlation_matches_oracle():
         barycentric1=sp.pc1_barycentric,
         splat_plan1=sp.pc1_splat_plan,
         pc1_corr_indices=sp.pc1_corr_indices,
-        pc2_corr_indices=sp.pc2_corr_indices,
+        pc2_corr_uniq=sp.pc2_corr_uniq,
+        pc2_corr_inverse=sp.pc2_corr_inverse,
         pc1_corr_plan=sp.pc1_corr_plan,
         pc2_corr_plan=sp.pc2_corr_plan,
     )
@@ -296,7 +304,7 @@ def test_bilateral_correlation_matches_oracle():
     want = oracle.corr_np(
         feat1, feat2, prev_pad,
         np.asarray(sp.pc1_corr_indices).T,
-        np.asarray(sp.pc2_corr_indices).transpose(0, 2, 1),
+        np.asarray(sp.pc2_corr_indices_full()).transpose(0, 2, 1),
         np.asarray(p["corr0_kernel"]), np.asarray(p["corr0_bias"]),
         [(np.asarray(p["corr1_kernel"]), np.asarray(p["corr1_bias"]))],
         np.asarray(p["blur0_kernel"]), np.asarray(p["blur0_bias"]),

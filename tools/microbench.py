@@ -114,10 +114,11 @@ def main():
     sp2 = scales[2]
     h2 = sp2.pc1_corr_indices.shape[-1]
     pad2 = jnp.asarray(rng.randn(h2 + 1, 64), dt)
-    kc = jnp.asarray(rng.randn(15, 64, 32), dt)
-    bench("corr_cross_s2 (15,15,13312,64)",
-          lambda p, i, k: corr_cross(p, i, k, None),
-          pad2, sp2.pc2_corr_indices, kc)
+    n_uniq = sp2.pc2_corr_uniq.shape[0]
+    k2 = jnp.asarray(rng.randn(15, n_uniq, 64, 32), dt)
+    bench(f"corr_cross_s2 ({n_uniq},13312,64 uniq)",
+          lambda p, u, k: corr_cross(p, u, k, None),
+          pad2, sp2.pc2_corr_uniq, k2)
     bench("corr_gather1_s2 (15,13312,64)",
           lambda p, i: gather_rows(p, i, None).sum(axis=0),
           pad2, sp2.pc1_corr_indices)
