@@ -36,7 +36,7 @@ import numpy as np
 
 from .geometry import PermutohedralGeometry
 from .offsets import neighborhood_offsets
-from ..ops.segment import ReducePlan, make_reduce_plan
+from ..ops.segment import ReducePlan, local_ranks, make_reduce_plan
 
 __all__ = [
     "probe_sharding",
@@ -122,6 +122,10 @@ class ScalePair(NamedTuple):
     pc1_corr_plan: ReducePlan      # pc1_corr_indices -> H1 (corr spread1 bwd)
     pc2_corr_plan: ReducePlan      # per-unique-offset plans, leaves stacked
                                    # over U: pc2_corr_uniq[u] -> H2
+    # () i32: queries whose true position fell outside the windowed probe's
+    # static window (degraded to "absent" like capacity overflow; 0 on
+    # realistic clouds — see _probe_rows_sorted)
+    probe_overflow: jax.Array
 
     def pc2_corr_indices_full(self):
         """Dense (F, Cc, H1) cross-corr table (reference layout), for tests."""
@@ -219,15 +223,26 @@ def probe_sharding(mesh, axis: str = "lattice"):
         _PROBE_MESH.reset(token)
 
 
-def _probe_dispatch(vhi, vlo, qhi, qlo):
-    """Route to the plain probe or the tap-sharded shard_map version."""
+def _probe_with_overflow(vhi, vlo, qhi, qlo):
+    """Sort-join probe widened to the windowed probe's 3-output signature."""
+    idx, found = _probe(vhi, vlo, qhi, qlo)
+    return idx, found, jnp.zeros((qhi.shape[0],), jnp.int32)
+
+
+def _probe_dispatch(vhi, vlo, qhi, qlo, rows_sorted=False):
+    """Route to the plain/windowed probe or the tap-sharded shard_map version.
+
+    Returns ``(idx, found, overflow)`` with ``overflow`` a per-tap count of
+    window-overflowed queries (always 0 on the sort path).
+    """
+    probe = _probe_rows_sorted if rows_sorted else _probe_with_overflow
     cfg = _PROBE_MESH.get()
     if cfg is None or qhi.ndim != 2:
-        return _probe(vhi, vlo, qhi, qlo)
+        return probe(vhi, vlo, qhi, qlo)
     mesh, axis = cfg
     n_shards = mesh.shape[axis]
     if n_shards == 1:
-        return _probe(vhi, vlo, qhi, qlo)
+        return probe(vhi, vlo, qhi, qlo)
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map as _sm
@@ -249,30 +264,28 @@ def _probe_dispatch(vhi, vlo, qhi, qlo):
         qlo = jnp.concatenate([qlo, filler])
 
     fn = shard_map(
-        _probe, mesh,
+        probe, mesh,
         (P(), P(), P(axis), P(axis)),
-        (P(axis), P(axis)))
-    idx, found = fn(vhi, vlo, qhi, qlo)
-    return idx[:f], found[:f]
+        (P(axis), P(axis), P(axis)))
+    idx, found, overflow = fn(vhi, vlo, qhi, qlo)
+    return idx[:f], found[:f], overflow[:f]
 
 
-def _probe(vhi: jax.Array, vlo: jax.Array, qhi: jax.Array, qlo: jax.Array):
-    """Find each query key in the sorted vertex table.
-
-    Returns ``(idx, found)``: dense vertex id (int32, arbitrary where not
-    found) and a bool mask, shaped like the queries.
+def _probe_counts(vhi: jax.Array, vlo: jax.Array,
+                  qhi: jax.Array, qlo: jax.Array):
+    """Per query: ``(lt, found)`` — count of table keys strictly below the
+    query, and whether the query key exists in the table.
 
     Sort-merge join with the table inserted TWICE around the queries —
     tag 0 copies sort before equal-key queries, tag 2 copies after — so for
     a query ``q``: ``count(tag0 <= q)`` counts table keys ``<= q`` and
     ``count(tag2 <= q)`` counts table keys ``< q``; the key exists iff they
-    differ, and the dense id is ``count(tag0) - 1``.  Everything is one
-    3-array sort + two cumsums + one 2-array unsort: no associative_scan, no
-    random gathers (TPU sorts are ~100x cheaper than random gathers:
-    0.34 ms to sort 400k pairs vs 39 ms for a 15-step binary search; table
-    keys are unique so the duplicate copy only grows the sort ~6% for the
-    15-tap probes).  (tag, position) share one int32 word so the sort moves
-    3 arrays, not 4.
+    differ (table keys are unique, so they differ by at most 1).  Everything
+    is one 3-array sort + two cumsums + one 2-array unsort: no
+    associative_scan, no random gathers (TPU sorts are ~100x cheaper than
+    random gathers: 0.34 ms to sort 400k pairs vs 39 ms for a 15-step binary
+    search).  (tag, position) share one int32 word so the sort moves 3
+    arrays, not 4; (lt, found) share the unsort's single payload word.
     """
     shape = qhi.shape
     qh = qhi.reshape(-1)
@@ -294,14 +307,119 @@ def _probe(vhi: jax.Array, vlo: jax.Array, qhi: jax.Array, qlo: jax.Array):
 
     le = jnp.cumsum((sword < (1 << _TAG_SHIFT)).astype(jnp.int32))
     lt = jnp.cumsum((sword >= (2 << _TAG_SHIFT)).astype(jnp.int32))
-    found_s = le > lt
-    # pack (found, idx) into one int32 payload: idx+1 if found else 0
-    res_s = jnp.where(found_s, le, 0)
+    # pack (lt, found) into one int32 payload word
+    res_s = (lt << 1) | (le > lt).astype(jnp.int32)
 
     # unsort by the unique word; queries land at positions [n_t, n_t + n_q)
     _, res = jax.lax.sort((sword, res_s), num_keys=1)
     res_q = res[n_t:n_t + n_q].reshape(shape)
-    return res_q - 1, res_q > 0
+    return res_q >> 1, (res_q & 1).astype(bool)
+
+
+def _probe(vhi: jax.Array, vlo: jax.Array, qhi: jax.Array, qlo: jax.Array):
+    """Find each query key in the sorted vertex table via the sort-merge
+    join.  Returns ``(idx, found)``: dense vertex id (int32, arbitrary where
+    not found) and a bool mask, shaped like the queries."""
+    lt, found = _probe_counts(vhi, vlo, qhi, qlo)
+    return lt, found
+
+
+# Windowed probe: each query row is the sorted vertex-key array plus one
+# packed stencil delta, so rows are themselves sorted (constant addition
+# preserves the lexicographic (hi, lo) order; invalid vertices are masked to
+# the sentinel, which sorts last).  Block the row into runs of _PROBE_B
+# queries, find each block's lower bound in the table with a *small*
+# sort-merge join over just the block-boundary queries, then count within a
+# _PROBE_W-wide window of table keys — dense, branchless VPU compares
+# instead of an O((F+2)·H) sort (measured 3.4 ms for the 65-tap correlation
+# probe at 13k vertices; the windowed form is ~0.8 ms).  A lax.cond falls
+# back to the exact sort join whenever any block's true span exceeds the
+# window (measured spans: p100 ~210 at B=128 on FT3D-like clouds, W=384).
+_PROBE_B = 128
+_PROBE_W = 512   # >= alignment waste (127) + observed span p100 (~210 at B=128)
+
+
+def _lex_le(ahi, alo, bhi, blo):
+    """(ahi, alo) <= (bhi, blo) lexicographically, elementwise."""
+    return (ahi < bhi) | ((ahi == bhi) & (alo <= blo))
+
+
+def _probe_rows_sorted(vhi, vlo, qhi, qlo):
+    """Windowed probe for row-sorted queries.
+
+    Returns ``(idx, found, overflow)``: like :func:`_probe` plus a per-tap
+    count of real queries whose block's true span exceeded the static
+    window.  Such queries degrade to "absent" (found=False) — the same
+    contract as capacity overflow (vertices past ``capacity`` are dropped
+    and counted), never a wrong index.  On FT3D-like clouds spans are ~210
+    at B=128 (see _PROBE_W) so overflow is zero in practice; callers surface
+    the counter through ``ScalePair.probe_overflow``.
+    """
+    f, h = qhi.shape
+    n_t = vhi.shape[0]
+    b, w = _PROBE_B, _PROBE_W
+    pad = (-h) % b
+    if pad:
+        filler = jnp.full((f, pad), _SENTINEL, jnp.int32)
+        qhi_p = jnp.concatenate([qhi, filler], axis=1)
+        qlo_p = jnp.concatenate([qlo, filler], axis=1)
+    else:
+        qhi_p, qlo_p = qhi, qlo
+    hp = qhi_p.shape[1]
+    nb = hp // b
+
+    # block-boundary lower bounds via the small join: (f, nb) queries
+    lt, _ = _probe_counts(vhi, vlo, qhi_p[:, ::b], qlo_p[:, ::b])
+    # windows start at a 128-aligned position so they can be fetched as
+    # whole-row gathers of a (n/128, 128) view — XLA's fast row-gather path.
+    # (An elementwise vhi[pos] gather lowers to scalar loads, ~1.2 ms per
+    # window set, and lax.gather with slice_sizes lowers to a sequential
+    # while+dynamic-slice loop, ~5 ms.  Row gathers are contiguous copies.)
+    lane = 128
+    n_t_pad = -(-max(n_t, w) // lane) * lane
+    start = jnp.clip(lt & ~(lane - 1), 0, n_t_pad - w)
+    # Every VALID query's result position sits below the next boundary's
+    # lower bound + 1 (unique table keys).  The final block is bounded by
+    # the valid table size: sentinel-masked queries can count up to n_t but
+    # their results are discarded by the callers' vertex_valid masking, so
+    # they must not flag overflow.  Clamping/aligning start only
+    # strengthens the condition.
+    n_valid_t = jnp.sum(
+        (~((vhi == _SENTINEL) & (vlo == _SENTINEL))).astype(jnp.int32))
+    bound = jnp.concatenate(
+        [lt[:, 1:], jnp.full((f, 1), 0, jnp.int32) + n_valid_t], axis=1)
+    bound = jnp.minimum(bound, n_valid_t)
+    block_ok = bound + 1 - start <= w                             # (f, nb)
+
+    tpad = n_t_pad - n_t
+    vhi_p, vlo_p = vhi, vlo
+    if tpad:
+        filler_t = jnp.full((tpad,), _SENTINEL, jnp.int32)
+        vhi_p = jnp.concatenate([vhi, filler_t])
+        vlo_p = jnp.concatenate([vlo, filler_t])
+    rows = (start[:, :, None] >> 7) + jnp.arange(w // lane, dtype=jnp.int32)
+    rows = rows.reshape(-1)
+    whi = vhi_p.reshape(-1, lane)[rows].reshape(f, nb, 1, w)
+    wlo = vlo_p.reshape(-1, lane)[rows].reshape(f, nb, 1, w)
+    pos = start[:, :, None, None] + jnp.arange(w, dtype=jnp.int32)
+    in_table = pos < n_t
+    qh = qhi_p.reshape(f, nb, b, 1)
+    ql = qlo_p.reshape(f, nb, b, 1)
+    # one fused reduce: low 16 bits count "window key <= query", bit 16
+    # counts exact matches (at most one — table keys are unique)
+    le_term = in_table & _lex_le(whi, wlo, qh, ql)
+    eq_term = in_table & (whi == qh) & (wlo == ql)
+    enc = le_term.astype(jnp.int32) + (eq_term.astype(jnp.int32) << 16)
+    cnt = jnp.sum(enc, axis=-1)                                   # (f, nb, b)
+    idx = start[:, :, None] + (cnt & 0xFFFF) - 1
+    found = (cnt >> 16 > 0) & block_ok[:, :, None]
+
+    real_q = ~((qh[..., 0] == _SENTINEL) & (ql[..., 0] == _SENTINEL))
+    overflow = jnp.sum((real_q & ~block_ok[:, :, None]).astype(jnp.int32),
+                       axis=(1, 2))                               # (f,)
+    return (idx.reshape(f, hp)[:, :h],
+            found.reshape(f, hp)[:, :h],
+            overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -393,8 +511,11 @@ def _build_from_elevated(
     el_minus_gr = jnp.where(valid[:, None], kb.el_minus_gr, 0.0)
 
     # splat plan for free: sorted-by-key order == sorted-by-id order
+    same_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool), (shi[1:] == shi[:-1]) & (slo[1:] == slo[:-1])])
     splat_plan = ReducePlan(ids=lattice_offset.reshape(-1), perm=perm,
-                            start=vertex_start, end=vertex_end)
+                            start=vertex_start, end=vertex_end,
+                            lrank=local_ranks(same_prev))
 
     return CloudLattice(
         lattice_offset=lattice_offset,
@@ -409,21 +530,25 @@ def _build_from_elevated(
     )
 
 
-def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int) -> jax.Array:
-    """(F, H) blur-neighbor ids for one cloud; -1 where the neighbor is absent."""
+def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int):
+    """((F, H) blur-neighbor ids, window-overflow count); -1 = absent."""
     # the stencil's first offset is the zero offset (identity tap: each valid
     # vertex maps to itself) — fill it directly and probe only the rest
     assert not offsets[0].any(), "stencil row 0 must be the zero offset"
     dhi, dlo = _pack_deltas(offsets[1:], d)                # (F-1,)
-    qhi = dhi[:, None] + cl.vkeys_hi[None, :]              # (F-1, H)
-    qlo = dlo[:, None] + cl.vkeys_lo[None, :]
-    idx, found = _probe_dispatch(cl.vkeys_hi, cl.vkeys_lo, qhi, qlo)
+    # sentinel-mask invalid vertices so each query row stays sorted (the
+    # windowed probe relies on it; results there are discarded anyway)
+    ok_v = cl.vertex_valid[None, :]
+    qhi = jnp.where(ok_v, dhi[:, None] + cl.vkeys_hi[None, :], _SENTINEL)
+    qlo = jnp.where(ok_v, dlo[:, None] + cl.vkeys_lo[None, :], _SENTINEL)
+    idx, found, oflow = _probe_dispatch(cl.vkeys_hi, cl.vkeys_lo, qhi, qlo,
+                                        rows_sorted=True)
     ok = found & cl.vertex_valid[None, :]
     h = cl.vkeys_hi.shape[0]
     iota = jnp.arange(h, dtype=jnp.int32)
     self_row = jnp.where(cl.vertex_valid, iota, -1)[None, :]
     rest = jnp.where(ok, idx, -1).astype(jnp.int32)
-    return jnp.concatenate([self_row, rest], axis=0)
+    return jnp.concatenate([self_row, rest], axis=0), jnp.sum(oflow)
 
 
 def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
@@ -436,15 +561,22 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
                            in cloud-2 table
 
     Pass ``pc1_corr`` to reuse an existing table (e.g. the blur-neighbor
-    table when the stencils coincide).
+    table when the stencils coincide).  Also returns the summed
+    window-overflow count of its probes.
     """
+    probe_overflow = jnp.zeros((), jnp.int32)
+    ok_v = cl1.vertex_valid[None, :]
     if pc1_corr is None:
         chi, clo = _pack_deltas(corr_offsets, d)           # (Cc,)
-        center_hi = chi[:, None] + cl1.vkeys_hi[None, :]   # (Cc, H1)
-        center_lo = clo[:, None] + cl1.vkeys_lo[None, :]
-        idx1, found1 = _probe_dispatch(cl1.vkeys_hi, cl1.vkeys_lo,
-                                       center_hi, center_lo)
-        ok1 = found1 & cl1.vertex_valid[None, :]
+        center_hi = jnp.where(
+            ok_v, chi[:, None] + cl1.vkeys_hi[None, :], _SENTINEL)
+        center_lo = jnp.where(
+            ok_v, clo[:, None] + cl1.vkeys_lo[None, :], _SENTINEL)
+        idx1, found1, oflow1 = _probe_dispatch(cl1.vkeys_hi, cl1.vkeys_lo,
+                                               center_hi, center_lo,
+                                               rows_sorted=True)
+        probe_overflow = probe_overflow + jnp.sum(oflow1)
+        ok1 = found1 & ok_v
         pc1_corr = jnp.where(ok1, idx1, -1).astype(jnp.int32)
 
     # the F x Cc combined offsets collapse heavily (225 -> 65 for the radius-1
@@ -456,15 +588,17 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
     uniq, inverse = np.unique(combined, axis=0, return_inverse=True)
     uhi, ulo = _pack_deltas(uniq, d)                        # (U,)
 
-    qhi = uhi[:, None] + cl1.vkeys_hi[None, :]              # (U, H1)
-    qlo = ulo[:, None] + cl1.vkeys_lo[None, :]
-    idx2, found2 = _probe_dispatch(cl2.vkeys_hi, cl2.vkeys_lo, qhi, qlo)
-    ok2 = found2 & cl1.vertex_valid[None, :]
+    qhi = jnp.where(ok_v, uhi[:, None] + cl1.vkeys_hi[None, :], _SENTINEL)
+    qlo = jnp.where(ok_v, ulo[:, None] + cl1.vkeys_lo[None, :], _SENTINEL)
+    idx2, found2, oflow2 = _probe_dispatch(cl2.vkeys_hi, cl2.vkeys_lo,
+                                           qhi, qlo, rows_sorted=True)
+    probe_overflow = probe_overflow + jnp.sum(oflow2)
+    ok2 = found2 & ok_v
     uniq_tab = jnp.where(ok2, idx2, -1).astype(jnp.int32)   # (U, H1)
 
     nf, nc = filter_offsets.shape[0], corr_offsets.shape[0]
     inverse = jnp.asarray(inverse.astype(np.int32).reshape(nf, nc))
-    return pc1_corr, uniq_tab, inverse
+    return pc1_corr, uniq_tab, inverse, probe_overflow
 
 
 def _next_elevated(geom: PermutohedralGeometry, cl: CloudLattice,
@@ -530,10 +664,12 @@ def build_pyramid(
         cl1 = _build_from_elevated(geom, elev1, valid1, ss.capacity)
         cl2 = _build_from_elevated(geom, elev2, valid2, ss.capacity)
 
+        probe_oflow = jnp.zeros((), jnp.int32)
         if ss.blur_radius != -1:
             offs = neighborhood_offsets(ss.blur_radius, spec.d)
-            nb1 = _neighbor_table(cl1, offs, spec.d)
-            nb2 = _neighbor_table(cl2, offs, spec.d)
+            nb1, of1 = _neighbor_table(cl1, offs, spec.d)
+            nb2, of2 = _neighbor_table(cl2, offs, spec.d)
+            probe_oflow = probe_oflow + of1 + of2
         else:
             nb1 = jnp.zeros((1, 1), dtype=jnp.int32)
             nb2 = jnp.zeros((1, 1), dtype=jnp.int32)
@@ -542,7 +678,8 @@ def build_pyramid(
             ids=jnp.full((1,), -1, jnp.int32),
             perm=jnp.zeros((1,), jnp.int32),
             start=jnp.zeros((1,), jnp.int32),
-            end=jnp.zeros((1,), jnp.int32))
+            end=jnp.zeros((1,), jnp.int32),
+            lrank=jnp.zeros((1,), jnp.int32))
 
         if ss.corr_filter_radius != -1:
             f_offs = neighborhood_offsets(ss.corr_filter_radius, spec.d)
@@ -550,11 +687,12 @@ def build_pyramid(
             if ss.corr_corr_radius == ss.blur_radius and ss.blur_radius != -1:
                 # identical stencil + identical table => pc1_corr == blur
                 # neighbors; skip Cc*H probes (default config has all radii 1)
-                corr1, corr2u, corr2inv = _corr_tables(
+                corr1, corr2u, corr2inv, of_c = _corr_tables(
                     cl1, cl2, f_offs, c_offs, spec.d, pc1_corr=nb1)
             else:
-                corr1, corr2u, corr2inv = _corr_tables(
+                corr1, corr2u, corr2inv, of_c = _corr_tables(
                     cl1, cl2, f_offs, c_offs, spec.d)
+            probe_oflow = probe_oflow + of_c
             if adjoint_plans:
                 corr1_plan = make_reduce_plan(corr1, ss.capacity)
                 # per-unique-offset plans for the spread2 adjoint (a single
@@ -593,6 +731,7 @@ def build_pyramid(
             pc2_splat_plan=cl2.splat_plan,
             pc1_corr_plan=corr1_plan,
             pc2_corr_plan=corr2_plan,
+            probe_overflow=probe_oflow,
         ))
 
         if i + 1 < len(spec.scales):

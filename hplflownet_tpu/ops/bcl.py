@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .pallas_stencil import stencil_gather_matmul
 from .segment import ReducePlan, apply_reduce_plan
 
 __all__ = ["splat", "blur_matmul", "slice_to_points", "BilateralConv",
@@ -119,15 +120,37 @@ def blur_matmul(
     return _blur_fwd_impl(splatted_pad, neighbors, kernel, bias)
 
 
-def _blur_fwd_impl(splatted_pad, neighbors, kernel, bias):
+# narrow-channel blurs go through the fused Pallas kernel (the table must
+# fit VMEM at 128-padded lanes; XLA's random row gather runs at 74-90 GB/s
+# at these widths).  CPU (tests) always takes the XLA path; the kernel
+# itself is covered by an interpret-mode unit test.
+_PALLAS_MAX_CIN = 192
+
+
+def _use_pallas(c_in: int) -> bool:
+    return c_in <= _PALLAS_MAX_CIN and jax.default_backend() == "tpu"
+
+
+def _stencil_xla(splatted_pad, neighbors, kernel):
     # tap-major (F, H, C) row-gather + one dot_general contracting (f, c):
     # each tap's index run is monotone (the vertex table is key-sorted, so
     # table position of key+delta is increasing in position of key), which
     # the TPU gather emitter exploits — measured 4.3 ms vs 6.1 ms for the
     # h-major gather+reshape at the (26624, 580->1024) decoder shape
     spread = splatted_pad[neighbors + 1]                   # (F, H, C_in)
-    out = jax.lax.dot_general(spread, kernel, (((0, 2), (0, 1)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(spread, kernel, (((0, 2), (0, 1)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _stencil(splatted_pad, neighbors, kernel, window=384):
+    if _use_pallas(splatted_pad.shape[1]):
+        return stencil_gather_matmul(splatted_pad[1:], neighbors, kernel,
+                                     window=window)
+    return _stencil_xla(splatted_pad, neighbors, kernel)
+
+
+def _blur_fwd_impl(splatted_pad, neighbors, kernel, bias):
+    out = _stencil(splatted_pad, neighbors, kernel)
     return _constrain_vertices(out + bias.astype(jnp.float32))
 
 
@@ -155,11 +178,10 @@ def _blur_bwd(tap_negation, res, g):
     d_kernel = jax.lax.dot_general(spread, gc, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    # d_splat via the negated-tap gather: same tap-major structure
-    g_spread = g_pad[neighbors[neg] + 1]                   # (F, H, C_out)
+    # d_splat via the negated-tap gather: same tap-major structure (and the
+    # same fused Pallas kernel on TPU)
     k_t = jnp.transpose(kernel, (0, 2, 1))                 # (F, C_out, C_in)
-    d_sp = jax.lax.dot_general(g_spread, k_t, (((0, 2), (0, 1)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    d_sp = _stencil(g_pad, neighbors[neg], k_t)
     d_splatted_pad = jnp.concatenate(
         [jnp.zeros((1, c_in), jnp.float32), d_sp],
         axis=0).astype(splatted_pad.dtype)
@@ -189,10 +211,17 @@ def _slice_impl(blurred, out_barycentric, out_lattice_offset):
     # OR a valid point whose vertex overflowed capacity (nonzero barycentric,
     # lattice/build.py).  The clamp would alias the latter onto row 0 — a
     # real vertex — so zero those weights explicitly.
-    safe = jnp.clip(out_lattice_offset, 0, blurred.shape[0] - 1)
-    gathered = blurred[safe]                               # (N, d1, C)
+    # One gather + weighted add per enclosing vertex: XLA fuses the multiply
+    # into the gather consumer, so no (N, d1, C) intermediate (the einsum
+    # form materialized + re-laid-out one, ~1.5 ms at the 8192x1024 decoder).
+    h = blurred.shape[0]
     bary = jnp.where(out_lattice_offset >= 0, out_barycentric, 0.0)
-    return jnp.einsum("nr,nrc->nc", bary, gathered)
+    out = None
+    for r in range(out_lattice_offset.shape[1]):
+        safe = jnp.clip(out_lattice_offset[:, r], 0, h - 1)
+        term = bary[:, r, None] * blurred[safe]
+        out = term if out is None else out + term
+    return out
 
 
 def _slice_fwd(blurred, out_barycentric, out_lattice_offset, plan):
@@ -206,8 +235,10 @@ def _slice_bwd(res, g):
     # d_blurred[v] = sum over (n, r) with offset=v of bary[n,r] * g[n]
     vals = (bary[:, :, None] * g[:, None, :]).reshape(-1, c)
     d_blurred = apply_reduce_plan(plan, vals)
-    safe = jnp.clip(offsets, 0, blurred.shape[0] - 1)
-    d_bary = jnp.einsum("nc,nrc->nr", g, blurred[safe])
+    h = blurred.shape[0]
+    d_bary = jnp.stack(
+        [jnp.sum(g * blurred[jnp.clip(offsets[:, r], 0, h - 1)], axis=1)
+         for r in range(offsets.shape[1])], axis=1)
     d_bary = jnp.where(offsets >= 0, d_bary, 0.0)
     return d_blurred, d_bary, None, None
 

@@ -27,10 +27,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .bcl import (splat, _activation, _dense_init, _first_tap_init,
-                  _constrain_vertices)
+                  _constrain_vertices, _stencil)
 from .segment import ReducePlan, apply_reduce_plan
 
-__all__ = ["BilateralCorrelation", "gather_rows", "corr_cross"]
+__all__ = ["BilateralCorrelation", "gather_rows", "corr_self",
+           "corr_cross"]
 
 
 # ---------------------------------------------------------------------------
@@ -63,6 +64,47 @@ def _gather_bwd(res, g):
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
 
 
+@jax.custom_vjp
+def corr_self(table_pad: jax.Array,   # (H1+1, C), row 0 zero sentinel
+              indices: jax.Array,     # (Cc, H1) int32, -1 = absent
+              k_self: jax.Array,      # (Cc, C, W)
+              plan: ReducePlan        # over indices.reshape(-1) -> H1
+              ) -> jax.Array:
+    """sum_k table_pad[indices[k] + 1] @ k_self[k] -> (H1, W).
+
+    The patch-correlation self term as one fused stencil contraction (the
+    Pallas kernel on TPU); its adjoint reduces through the builder's plan —
+    no scatter, and no (Cc, H1, C) spread materialized in forward.
+    """
+    return _stencil(table_pad, indices, k_self)
+
+
+def _corr_self_fwd(table_pad, indices, k_self, plan):
+    return _stencil(table_pad, indices, k_self), (table_pad, indices,
+                                                  k_self, plan)
+
+
+def _corr_self_bwd(res, g):                                  # g: (H1, W)
+    table_pad, indices, k_self, plan = res
+    c = table_pad.shape[1]
+    gc = g.astype(table_pad.dtype)
+    # d_table rows: vals[k, h] = g[h] @ k_self[k]^T, reduced by the plan
+    vals = jnp.einsum("hw,kcw->khc", gc, k_self,
+                      preferred_element_type=jnp.float32)
+    d_rows = apply_reduce_plan(plan, vals.reshape(-1, c))
+    d_table = jnp.concatenate(
+        [jnp.zeros((1, c), d_rows.dtype), d_rows], axis=0)
+    # d_k_self: recompute the spread (bwd only, XLA gather)
+    spread = table_pad[indices + 1]                           # (Cc, H1, C)
+    d_k = jnp.einsum("khc,hw->kcw", spread, gc,
+                     preferred_element_type=jnp.float32)
+    return (d_table.astype(table_pad.dtype), None,
+            d_k.astype(k_self.dtype), None)
+
+
+corr_self.defvjp(_corr_self_fwd, _corr_self_bwd)
+
+
 # ---------------------------------------------------------------------------
 # displacement-scan of the cross term, plan-based adjoint
 # ---------------------------------------------------------------------------
@@ -70,31 +112,33 @@ gather_rows.defvjp(_gather_fwd, _gather_bwd)
 @jax.custom_vjp
 def corr_cross(pad2: jax.Array,       # (H2+1, C)
                uniq_idx: jax.Array,   # (U, H1) unique-offset index rows
-               k2: jax.Array,         # (F, U, C, W) inverse-folded kernel
+               k2: jax.Array,         # (U, C, F, W) inverse-folded kernel
                plans: ReducePlan      # leaves stacked over U, each -> H2
                ) -> jax.Array:
-    """cross[f, h] = sum_u pad2[uniq_idx[u, h] + 1] @ k2[f, u] -> (F, H1, W).
+    """cross[h, f, w] = sum_u pad2[uniq_idx[u, h] + 1] @ k2[u] -> (H1, F, W).
 
     The F x Cc displaced patches of the reference (bnn_flow.py:195-197)
     collapse onto U distinct combined offsets (225 -> 65 at radius 1), so
     the gather moves a (U, H1, C) spread instead of (F, Cc, H1, C) — 3.5x
     less HBM traffic — and the static (f, c) -> u map is pre-folded into
-    ``k2`` (see BilateralCorrelation).
+    ``k2`` (see BilateralCorrelation).  Vertex-major (H1, F, W) output: the
+    fused stencil kernel emits it directly with no transpose.
     """
     return _corr_cross_impl(pad2, uniq_idx, k2)
 
 
 def _corr_cross_impl(pad2, uniq_idx, k2):
-    sp2 = pad2[uniq_idx + 1]                                # (U, H1, C)
-    return jnp.einsum("uhc,fucw->fhw", sp2, k2,
-                      preferred_element_type=jnp.float32)
+    u, c, f, w = k2.shape
+    flat = _stencil(pad2, uniq_idx, k2.reshape(u, c, f * w),
+                    window=512)                             # (H1, F*W)
+    return flat.reshape(flat.shape[0], f, w)
 
 
 def _corr_cross_fwd(pad2, uniq_idx, k2, plans):
     return _corr_cross_impl(pad2, uniq_idx, k2), (pad2, uniq_idx, k2, plans)
 
 
-def _corr_cross_bwd(res, g):                                 # g: (F, H1, W)
+def _corr_cross_bwd(res, g):                                 # g: (H1, F, W)
     pad2, uniq_idx, k2, plans = res
     c = pad2.shape[1]
     h2 = pad2.shape[0] - 1
@@ -102,22 +146,22 @@ def _corr_cross_bwd(res, g):                                 # g: (F, H1, W)
 
     def step(carry, inputs):
         d_rows_acc = carry
-        idx_u, plan_u, k2_u = inputs                         # k2_u: (F, C, W)
+        idx_u, plan_u, k2_u = inputs                         # k2_u: (C, F, W)
         # d_spread[u] = einsum over (f, w); one unique offset at a time keeps
         # peak memory at (H1, C) per step
-        dvals = jnp.einsum("fhw,fcw->hc", gc, k2_u,
+        dvals = jnp.einsum("hfw,cfw->hc", gc, k2_u,
                            preferred_element_type=jnp.float32)
         d_rows = apply_reduce_plan(plan_u, dvals)
         return d_rows_acc + d_rows, None
 
     d_rows, _ = jax.lax.scan(
         step, jnp.zeros((h2, c), jnp.float32),
-        (uniq_idx, plans, jnp.swapaxes(k2, 0, 1)))
+        (uniq_idx, plans, k2))
     d_pad2 = jnp.concatenate([jnp.zeros((1, c), jnp.float32), d_rows],
                              axis=0).astype(pad2.dtype)
 
     sp2 = pad2[uniq_idx + 1]                                 # recompute
-    d_k2 = jnp.einsum("uhc,fhw->fucw", sp2, gc,
+    d_k2 = jnp.einsum("uhc,hfw->ucfw", sp2, gc,
                       preferred_element_type=jnp.float32)
     return d_pad2, None, d_k2.astype(k2.dtype), None
 
@@ -194,25 +238,24 @@ class BilateralCorrelation(nn.Module):
         k_self = corr_kernel[:, :self_dim, :].astype(dt)
         k_cross = corr_kernel[:, self_dim:, :].astype(dt)
 
-        spread1 = gather_rows(combined1, pc1_corr_indices, pc1_corr_plan)
-        a_self = jnp.einsum("khc,kcw->hw", spread1, k_self,
-                            preferred_element_type=jnp.float32) + corr_bias
+        a_self = corr_self(combined1, pc1_corr_indices, k_self,
+                           pc1_corr_plan) + corr_bias
 
         # fold the static (f, c) -> u inverse map into the cross kernel:
-        # k2[f, u] = sum_{c : inverse[f, c] == u} k_cross[c]
+        # k2[u, :, f] = sum_{c : inverse[f, c] == u} k_cross[c]
         n_uniq = pc2_corr_uniq.shape[0]
         onehot = jax.nn.one_hot(pc2_corr_inverse, n_uniq, dtype=dt)
-        k2 = jnp.einsum("fku,kcw->fucw", onehot, k_cross,
+        k2 = jnp.einsum("fku,kcw->ucfw", onehot, k_cross,
                         preferred_element_type=jnp.float32).astype(dt)
         cross = corr_cross(pad2, pc2_corr_uniq, k2, pc2_corr_plan)
-        y = act(a_self[None, :, :] + cross)                  # (F, H1, wc0)
+        y = act(a_self[:, None, :] + cross)                  # (H1, F, wc0)
 
         for i, w in enumerate(self.corr_widths[1:], start=1):
             k = self.param(f"corr{i}_kernel", _dense_init,
                            (self.corr_widths[i - 1], w), jnp.float32)
             b = self.param(f"corr{i}_bias", nn.initializers.zeros,
                            (w,), jnp.float32)
-            y = act(jnp.einsum("fhc,cw->fhw", y.astype(dt), k.astype(dt),
+            y = act(jnp.einsum("hfc,cw->hfw", y.astype(dt), k.astype(dt),
                                preferred_element_type=jnp.float32) + b)
 
         # ---- displacement-filtering stage ----
@@ -222,7 +265,7 @@ class BilateralCorrelation(nn.Module):
             (self.filter_size, self.corr_widths[-1], w0), jnp.float32)
         blur_bias = self.param("blur0_bias", nn.initializers.zeros,
                                (w0,), jnp.float32)
-        x = jnp.einsum("fhw,fwo->ho", y.astype(dt), blur_kernel.astype(dt),
+        x = jnp.einsum("hfw,fwo->ho", y.astype(dt), blur_kernel.astype(dt),
                        preferred_element_type=jnp.float32) + blur_bias
         if len(self.widths) > 1 or self.last_relu:
             x = act(x)

@@ -38,6 +38,8 @@ class ReducePlan(NamedTuple):
     perm: jax.Array   # (M,) i32 sorted position -> source index
     start: jax.Array  # (T,) i32 run starts in sorted order
     end: jax.Array    # (T,) i32 run ends
+    lrank: jax.Array  # (M,) i32 local run rank within each _BLOCK-sized block
+                      # of the sorted stream (see local_ranks)
 
 
 def _searchsorted(sorted_vals: jax.Array, queries: jax.Array,
@@ -89,6 +91,29 @@ def _run_bounds(sorted_ids: jax.Array, num_targets: int):
     return start, end
 
 
+_BLOCK = 128
+
+
+def local_ranks(same_as_prev: jax.Array) -> jax.Array:
+    """Per-entry run rank local to each _BLOCK-sized block of a sorted stream.
+
+    ``same_as_prev[j]`` says the j-th sorted key equals the (j-1)-th.  A new
+    run starts on every key change and at every block boundary, so local
+    ranks stay < _BLOCK by construction (ranks grow by at most 1 per entry).
+    """
+    m = same_as_prev.shape[0]
+    pad = (-m) % _BLOCK
+    sp = same_as_prev
+    if pad:
+        sp = jnp.concatenate([sp, jnp.zeros((pad,), bool)])
+    mp = sp.shape[0]
+    pos = jnp.arange(mp, dtype=jnp.int32)
+    new = (~sp) | (pos % _BLOCK == 0)
+    blocked = new.astype(jnp.int32).reshape(mp // _BLOCK, _BLOCK)
+    lrank = jnp.cumsum(blocked, axis=1).reshape(-1) - 1
+    return lrank[:m]
+
+
 def make_reduce_plan(ids: jax.Array, num_targets: int) -> ReducePlan:
     """Build the sort/run structure for a flat (M,) id array (jittable)."""
     flat = ids.reshape(-1).astype(jnp.int32)
@@ -97,7 +122,10 @@ def make_reduce_plan(ids: jax.Array, num_targets: int) -> ReducePlan:
     iota = jnp.arange(m, dtype=jnp.int32)
     sorted_ids, perm = jax.lax.sort((key, iota), num_keys=1)
     start, end = _run_bounds(sorted_ids, num_targets)
-    return ReducePlan(ids=flat, perm=perm, start=start, end=end)
+    same = jnp.concatenate(
+        [jnp.zeros((1,), bool), sorted_ids[1:] == sorted_ids[:-1]])
+    return ReducePlan(ids=flat, perm=perm, start=start, end=end,
+                      lrank=local_ranks(same))
 
 
 @jax.custom_vjp
@@ -106,42 +134,53 @@ def apply_reduce_plan(plan: ReducePlan, vals: jax.Array) -> jax.Array:
     return _forward(plan, vals)
 
 
-_BLOCK = 256
-
-
 def _forward(plan: ReducePlan, vals: jax.Array) -> jax.Array:
-    """Two-level blocked prefix sums.
+    """Exact blocked run sums via a local-rank one-hot MXU matmul.
 
-    A flat cumsum's rounding error scales with the norm of the whole stream
-    (~sqrt(M)*eps), which the density normalization then amplifies.  With
-    block-local prefixes plus an exclusive block-level prefix, any two
-    boundary evaluations inside the same block share the identical
-    block-prefix float, so it cancels exactly and only the short local
-    cumsum's error survives.
+    Per _BLOCK-sized block of the sorted stream, ``partial[b, k]`` sums
+    exactly the block's entries whose local run rank is ``k`` (a one-hot
+    matmul — no prefix differencing, so a run contained in one block gets
+    the exact f32 sum of just its own entries, like the reference's
+    scatter-add; a flat-cumsum scheme's cross-run error would be amplified
+    by the 1/(density+1e-5) normalization on sparsely-hit vertices).  Runs
+    crossing blocks add their head/tail partials plus whole interior-block
+    totals.  Everything is gathers and matmuls: no scatter, and no
+    O(BLOCK^2) reduce-window cumsum (measured 0.94 ms per big splat).
     """
     gathered = vals[plan.perm].astype(jnp.float32)              # (M, C)
     m, c = gathered.shape
     pad = (-m) % _BLOCK
+    lrank = plan.lrank
     if pad:
         gathered = jnp.concatenate(
             [gathered, jnp.zeros((pad, c), jnp.float32)], axis=0)
-    nb = gathered.shape[0] // _BLOCK
+        lrank = jnp.concatenate([lrank, jnp.zeros((pad,), jnp.int32)])
+    mp = gathered.shape[0]
+    nb = mp // _BLOCK
     blocks = gathered.reshape(nb, _BLOCK, c)
-    local = jnp.cumsum(blocks, axis=1)                          # (nb, B, C)
-    totals = local[:, -1, :]                                    # (nb, C)
-    block_prefix = jnp.concatenate(
+    onehot = (lrank.reshape(nb, _BLOCK)[:, :, None]
+              == jnp.arange(_BLOCK, dtype=jnp.int32)).astype(jnp.float32)
+    # HIGHEST: bf16x6 products with an exactly-representable 1.0 one-hot
+    # keep each partial an (effectively) exact f32 sum of its run entries
+    partial = jnp.einsum("njk,njc->nkc", onehot, blocks,
+                         precision=jax.lax.Precision.HIGHEST)   # (nb, B, C)
+    partial_flat = partial.reshape(mp, c)
+    totals = jnp.sum(blocks, axis=1)                            # (nb, C)
+    csum = jnp.concatenate(
         [jnp.zeros((1, c), jnp.float32), jnp.cumsum(totals, axis=0)], axis=0)
-    local_flat = local.reshape(nb * _BLOCK, c)
 
-    def prefix_at(pos):                                          # pos in [0, M]
-        b = pos // _BLOCK
-        r = pos % _BLOCK
-        base = block_prefix[b]
-        idx = jnp.clip(pos - 1, 0, nb * _BLOCK - 1)
-        loc = jnp.where((r > 0)[:, None], local_flat[idx], 0.0)
-        return base + loc
-
-    return (prefix_at(plan.end) - prefix_at(plan.start)).astype(vals.dtype)
+    start, end = plan.start, plan.end
+    empty = start >= end
+    s = jnp.where(empty, 0, start)
+    e1 = jnp.where(empty, 0, end - 1)
+    b0 = s // _BLOCK
+    b1 = e1 // _BLOCK
+    head = partial_flat[b0 * _BLOCK + lrank[s]]
+    multi = b1 > b0
+    # interior blocks (b0, b1) exclusive are wholly inside the run
+    tail = partial_flat[b1 * _BLOCK + lrank[e1]] + csum[b1] - csum[b0 + 1]
+    out = head + jnp.where(multi[:, None], tail, 0.0)
+    return jnp.where(empty[:, None], 0.0, out).astype(vals.dtype)
 
 
 def _fwd(plan, vals):

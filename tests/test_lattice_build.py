@@ -294,3 +294,41 @@ def test_pyramid_tables_match_oracle(seeds, rows):
             ratio = np.float32(rows[i + 1][0]) / np.float32(scale)
             elev1 = np.unique(k1.reshape(-1, 4), axis=0).astype(np.float32) * ratio
             elev2 = np.unique(k2.reshape(-1, 4), axis=0).astype(np.float32) * ratio
+
+
+def test_windowed_probe_overflow_degrades_to_absent():
+    """When a block's span exceeds the probe window, affected queries must
+    degrade to "absent" (never a wrong index) and be counted — the same
+    contract as capacity overflow."""
+    import jax
+    import jax.numpy as jnp
+    from hplflownet_tpu.lattice import build as B
+
+    # dense run then very sparse keys: a block mixing shifted sparse queries
+    # into the dense region spans far more than _PROBE_W table positions
+    dense = np.arange(1000, dtype=np.int64)
+    sparse = 10_000 + 10_000 * np.arange(200, dtype=np.int64)
+    keys = np.sort(np.concatenate([dense, sparse]))
+    vhi = np.zeros(keys.size, np.int32)
+    vlo = keys.astype(np.int32)
+
+    delta = -9_500   # shifts each sparse key near the dense region
+    q = np.sort(keys + delta)
+    qhi = np.zeros((2, q.size), np.int32)
+    qlo = np.stack([q, q + 1]).astype(np.int32)
+
+    slow_idx, slow_found = jax.jit(B._probe)(vhi, vlo, qhi, qlo)
+    fast_idx, fast_found, oflow = jax.jit(B._probe_rows_sorted)(
+        vhi, vlo, qhi, qlo)
+    slow_idx, slow_found = np.asarray(slow_idx), np.asarray(slow_found)
+    fast_idx, fast_found = np.asarray(fast_idx), np.asarray(fast_found)
+
+    assert int(np.asarray(oflow).sum()) > 0          # overflow detected
+    assert slow_found.sum() > 0                      # scenario is non-trivial
+    # no false positives, and every fast hit is exact
+    assert not (fast_found & ~slow_found).any()
+    np.testing.assert_array_equal(fast_idx[fast_found],
+                                  slow_idx[fast_found])
+    # drops happen only in overflowed blocks
+    dropped = slow_found & ~fast_found
+    assert dropped.sum() <= int(np.asarray(oflow).sum())

@@ -204,11 +204,11 @@ def test_gather_rows_and_corr_cross_grads():
 
     def k2_of(k):
         onehot = jax.nn.one_hot(inv, n_uniq, dtype=k.dtype)
-        return jnp.einsum("fku,kcw->fucw", onehot, k)
+        return jnp.einsum("fku,kcw->ucfw", onehot, k)
 
     def ref(p2, k):
         sp2 = p2[idx_full + 1]                    # (F, Cc, H1, C)
-        return jnp.einsum("fkhc,kcw->fhw", sp2, k)
+        return jnp.einsum("fkhc,kcw->hfw", sp2, k)
 
     def ours(p2, k):
         return corr_cross(p2, uniq, k2_of(k), sp.pc2_corr_plan)
