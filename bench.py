@@ -30,9 +30,9 @@ SFM7 = [[3.0, 1, -1, -1], [2.0, 1, -1, -1], [1.0, 1, 1, 1],
         [0.5, 1, 1, 1], [0.25, 1, 1, 1], [0.125, 1, 1, 1],
         [0.0625, 1, 1, 1]]
 
-# measured on synthetic_frustum_clouds via `python bench.py --measure`,
-# padded ~1.15x and aligned to 256 (worst counts: 23k/28.4k/11.5k/3.2k/...)
-CAPACITIES = [26624, 32768, 13312, 4096, 1024, 512, 256]
+# measured on synthetic_frustum_clouds over 8 seeds (worst counts:
+# 22.8k/28.4k/11.5k/3.2k/739/213/87), padded 1.12x and aligned to 128
+CAPACITIES = [25600, 31872, 12928, 3584, 896, 256, 128]
 
 
 def _log(msg):
@@ -149,11 +149,39 @@ def main():
     per_batch = (times[24] - times[8]) / 16
     _log(f"single-call {t_one:.3f}s, marginal {per_batch * 1000:.1f} ms/batch")
     pairs_per_sec = BATCH / per_batch
+
+    # training-step throughput: full pipeline + backward + Adam, batch 1
+    # (the reference trains at batch 1; configs/train_ours.yaml:17)
+    from hplflownet_tpu.train.step import make_train_step
+    init_state, train_step = make_train_step(model, spec)
+    batch = {
+        "pc1": a, "pc2": b, "sf": b - a,
+        "valid1": jnp.ones(a.shape[:2], bool),
+        "valid2": jnp.ones(b.shape[:2], bool),
+    }
+    t = time.perf_counter()
+    state = init_state(params)
+    state, loss = train_step(state, batch)
+    _log(f"train compile+first in {time.perf_counter() - t:.1f}s "
+         f"(loss {float(loss):.4f})")
+    ttimes = {}
+    for iters in (4, 12):
+        t = time.perf_counter()
+        for _ in range(iters):
+            state, loss = train_step(state, batch)
+        np.asarray(loss)
+        ttimes[iters] = time.perf_counter() - t
+        _log(f"train iters={iters}: {ttimes[iters]:.3f}s")
+    train_ms = (ttimes[12] - ttimes[4]) / 8 * 1000
+    _log(f"train marginal {train_ms:.1f} ms/step")
+
     print(json.dumps({
         "metric": "pairs_per_sec",
         "value": round(pairs_per_sec, 3),
         "unit": f"{NUM_POINTS}-pt pairs/sec/chip (fwd incl. lattice build)",
         "vs_baseline": round(pairs_per_sec / TARGET, 4),
+        "train_step_ms": round(train_ms, 2),
+        "train_pairs_per_sec": round(BATCH / (train_ms / 1000), 3),
     }))
 
 

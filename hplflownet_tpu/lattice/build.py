@@ -223,19 +223,32 @@ def probe_sharding(mesh, axis: str = "lattice"):
         _PROBE_MESH.reset(token)
 
 
+_PROBE_B = 128
+# window sizes: >= 128-alignment waste (127) + observed span p100 at B=128
+# (blur stencil ~260, 65-offset correlation stencil ~430); overflow degrades
+# to absent and is counted, never silently wrong
+_PROBE_W_BLUR = 384
+_PROBE_W_CORR = 512
+
+
 def _probe_with_overflow(vhi, vlo, qhi, qlo):
     """Sort-join probe widened to the windowed probe's 3-output signature."""
     idx, found = _probe(vhi, vlo, qhi, qlo)
     return idx, found, jnp.zeros((qhi.shape[0],), jnp.int32)
 
 
-def _probe_dispatch(vhi, vlo, qhi, qlo, rows_sorted=False):
+def _probe_dispatch(vhi, vlo, qhi, qlo, rows_sorted=False,
+                    window=_PROBE_W_CORR):
     """Route to the plain/windowed probe or the tap-sharded shard_map version.
 
     Returns ``(idx, found, overflow)`` with ``overflow`` a per-tap count of
     window-overflowed queries (always 0 on the sort path).
     """
-    probe = _probe_rows_sorted if rows_sorted else _probe_with_overflow
+    if rows_sorted:
+        def probe(vh, vl, qh, ql):
+            return _probe_rows_sorted(vh, vl, qh, ql, window=window)
+    else:
+        probe = _probe_with_overflow
     cfg = _PROBE_MESH.get()
     if cfg is None or qhi.ndim != 2:
         return probe(vhi, vlo, qhi, qlo)
@@ -335,8 +348,6 @@ def _probe(vhi: jax.Array, vlo: jax.Array, qhi: jax.Array, qlo: jax.Array):
 # probe at 13k vertices; the windowed form is ~0.8 ms).  A lax.cond falls
 # back to the exact sort join whenever any block's true span exceeds the
 # window (measured spans: p100 ~210 at B=128 on FT3D-like clouds, W=384).
-_PROBE_B = 128
-_PROBE_W = 512   # >= alignment waste (127) + observed span p100 (~210 at B=128)
 
 
 def _lex_le(ahi, alo, bhi, blo):
@@ -344,7 +355,7 @@ def _lex_le(ahi, alo, bhi, blo):
     return (ahi < bhi) | ((ahi == bhi) & (alo <= blo))
 
 
-def _probe_rows_sorted(vhi, vlo, qhi, qlo):
+def _probe_rows_sorted(vhi, vlo, qhi, qlo, window=_PROBE_W_CORR):
     """Windowed probe for row-sorted queries.
 
     Returns ``(idx, found, overflow)``: like :func:`_probe` plus a per-tap
@@ -357,7 +368,7 @@ def _probe_rows_sorted(vhi, vlo, qhi, qlo):
     """
     f, h = qhi.shape
     n_t = vhi.shape[0]
-    b, w = _PROBE_B, _PROBE_W
+    b, w = _PROBE_B, window
     pad = (-h) % b
     if pad:
         filler = jnp.full((f, pad), _SENTINEL, jnp.int32)
@@ -542,7 +553,8 @@ def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int):
     qhi = jnp.where(ok_v, dhi[:, None] + cl.vkeys_hi[None, :], _SENTINEL)
     qlo = jnp.where(ok_v, dlo[:, None] + cl.vkeys_lo[None, :], _SENTINEL)
     idx, found, oflow = _probe_dispatch(cl.vkeys_hi, cl.vkeys_lo, qhi, qlo,
-                                        rows_sorted=True)
+                                        rows_sorted=True,
+                                        window=_PROBE_W_BLUR)
     ok = found & cl.vertex_valid[None, :]
     h = cl.vkeys_hi.shape[0]
     iota = jnp.arange(h, dtype=jnp.int32)

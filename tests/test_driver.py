@@ -89,6 +89,7 @@ def _patch_strict(monkeypatch):
     monkeypatch.setattr(datasets.FlyingThings3DSubset, "__init__", patched)
 
 
+@pytest.mark.slow
 def test_train_then_evaluate_roundtrip(fake_data, tmp_path, monkeypatch):
     _patch_strict(monkeypatch)
     cfg = base_config(fake_data)

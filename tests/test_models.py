@@ -48,6 +48,7 @@ def test_shallow_forward_shapes_and_jit():
     assert not np.allclose(np.asarray(out), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_full_model_forward():
     pc1, pc2 = clouds(n=64, seed=1)
     spec = make_lattice_spec(SFM7, capacities=[256, 384, 512, 512, 384, 256, 128])
@@ -63,6 +64,7 @@ def test_full_model_forward():
     assert 15e6 < n_params < 25e6, n_params
 
 
+@pytest.mark.slow
 def test_batched_forward_matches_single():
     model, spec = make_shallow()
     pc1a, pc2a = clouds(seed=2)
@@ -82,6 +84,7 @@ def test_batched_forward_matches_single():
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_everything():
     model, spec = make_shallow()
     pc1, pc2 = clouds(seed=4)

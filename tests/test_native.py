@@ -50,7 +50,7 @@ def test_native_matches_jax_builder():
     nb = hb.neighbor_table(unique, total, offs)
     # jax table: need to rebuild via the pyramid; use _neighbor_table
     from hplflownet_tpu.lattice.build import _neighbor_table
-    jnb = np.asarray(_neighbor_table(cl, offs, 3))
+    jnb = np.asarray(_neighbor_table(cl, offs, 3)[0])
     np.testing.assert_array_equal(nb, jnb)
 
 
@@ -75,7 +75,7 @@ def test_native_corr_tables_match_jax():
 
     offs = neighborhood_offsets(1, 3)
     pc1c, pc2c = hb.corr_tables(u1, n1, u2, n2, offs, offs)
-    j1, j2u, j2inv = _corr_tables(cl1, cl2, offs, offs, 3)
+    j1, j2u, j2inv, _ = _corr_tables(cl1, cl2, offs, offs, 3)
     j2 = np.asarray(j2u)[np.asarray(j2inv)]       # dense (F, Cc, H)
     np.testing.assert_array_equal(pc1c, np.asarray(j1))
     np.testing.assert_array_equal(pc2c, j2)

@@ -36,6 +36,7 @@ def test_eight_devices_available():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.slow
 def test_dp_step_matches_single_device():
     model, spec, params, batch = setup()
     mesh = make_mesh(axis_names=("data",))
@@ -76,6 +77,7 @@ def test_lattice_sharded_forward_matches_unsharded():
                                np.asarray(out_plain), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_two_axis_mesh_dp_plus_lattice_compiles():
     """(4 data x 2 lattice) mesh: DP step with vertex constraints compiles."""
     model, spec, params, batch = setup(b=4)
@@ -88,6 +90,7 @@ def test_two_axis_mesh_dp_plus_lattice_compiles():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_lattice_sharding_partitions_compute():
     """Evidence that lattice sharding shards real WORK, not just storage:
     the compiled per-device SPMD module of the 8-way lattice-sharded forward

@@ -1,6 +1,7 @@
 """Training-loop machinery: loss decreases, LR schedule, checkpoint roundtrip."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +39,7 @@ def setup_model():
     return model, spec, params, batch
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     model, spec, params, batch = setup_model()
     init_state, train_step = make_train_step(model, spec, learning_rate=1e-4)
