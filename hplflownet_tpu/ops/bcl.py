@@ -120,15 +120,21 @@ def blur_matmul(
     return _blur_fwd_impl(splatted_pad, neighbors, kernel, bias)
 
 
-# narrow-channel blurs go through the fused Pallas kernel (the table must
-# fit VMEM at 128-padded lanes; XLA's random row gather runs at 74-90 GB/s
-# at these widths).  CPU (tests) always takes the XLA path; the kernel
-# itself is covered by an interpret-mode unit test.
-_PALLAS_MAX_CIN = 192
+# Blurs whose table + tap kernel fit the Mosaic scoped-VMEM budget go
+# through the fused Pallas kernel — measured faster than XLA's
+# gather+matmul at every such shape (2-2.7x for narrow 64-68 ch layers).
+# Wider layers (the big decoder blurs, the 512-1024-ch backward g-tables)
+# exceed the ~16 MB scoped-VMEM stack inside larger modules and stay on
+# XLA.  CPU (tests) always takes the XLA path; the kernel itself is
+# covered by an interpret-mode unit test.
+_PALLAS_VMEM_BUDGET = 14 * 2**20
 
 
-def _use_pallas(c_in: int) -> bool:
-    return c_in <= _PALLAS_MAX_CIN and jax.default_backend() == "tpu"
+def _use_pallas(h: int, c_in: int, kernel_bytes: int) -> bool:
+    c_pad = -(-c_in // 128) * 128
+    table_bytes = h * c_pad * 2
+    return (table_bytes + kernel_bytes <= _PALLAS_VMEM_BUDGET
+            and jax.default_backend() == "tpu")
 
 
 def _stencil_xla(splatted_pad, neighbors, kernel):
@@ -143,7 +149,9 @@ def _stencil_xla(splatted_pad, neighbors, kernel):
 
 
 def _stencil(splatted_pad, neighbors, kernel, window=384):
-    if _use_pallas(splatted_pad.shape[1]):
+    f, c_in, c_out = kernel.shape
+    kb = f * (-(-c_in // 128) * 128) * c_out * kernel.dtype.itemsize
+    if _use_pallas(splatted_pad.shape[0] - 1, c_in, kb):
         return stencil_gather_matmul(splatted_pad[1:], neighbors, kernel,
                                      window=window)
     return _stencil_xla(splatted_pad, neighbors, kernel)

@@ -11,5 +11,7 @@ batch_size=1, main.py:104); here scaling is native:
 """
 
 from .mesh import make_mesh  # noqa: F401
+from .distributed import (initialize, global_mesh,  # noqa: F401
+                          process_local_batch_slice)
 from .data_parallel import make_dp_train_step, shard_batch  # noqa: F401
 from .lattice_parallel import lattice_sharded_forward  # noqa: F401

@@ -1,0 +1,88 @@
+"""Multi-host (multi-process) initialization and mesh construction.
+
+The reference is strictly single-process/single-GPU — its only multi-device
+construct is an inert ``torch.nn.DataParallel`` (/root/reference/main.py:104,
+README.md:57).  This module supplies the TPU-native distribution layer the
+reference never had:
+
+* :func:`initialize` wraps ``jax.distributed.initialize`` so a v5e pod slice
+  (or any multi-host topology) can run one process per host; XLA then sees
+  the global device set and GSPMD emits collectives over ICI within a slice
+  and DCN across slices automatically.
+* :func:`global_mesh` builds the standard ``(data, lattice)`` mesh over ALL
+  global devices, keeping each host's local devices contiguous on the
+  ``data`` axis so per-host input batches shard locally (no cross-host
+  scatter of input data).
+* :func:`process_local_batch_slice` maps the global batch index range owned
+  by this process — the host-side data loader feeds only that slice.
+
+Single-process use (tests, the 1-chip tunnel, CPU meshes) never needs to
+call :func:`initialize`; every helper degrades to the local device set.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+__all__ = ["initialize", "global_mesh", "process_local_batch_slice"]
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Start JAX's multi-process runtime (one call per host, before any
+    other jax use).
+
+    With no arguments, TPU pod environments auto-discover the coordinator
+    from the TPU metadata; explicit arguments support CPU/GPU clusters.
+    No-op when the runtime is already initialized or when running
+    single-process.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes,
+                      process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process environment (no coordinator): run locally
+        pass
+
+
+def global_mesh(data_axis: int | None = None,
+                lattice_axis: int = 1) -> Mesh:
+    """(data, lattice) mesh over all global devices.
+
+    Defaults to pure data parallelism over every chip in the job.  Devices
+    are laid out so that each process's local chips are adjacent on the
+    ``data`` axis: per-host batch shards stay on-host, and the gradient
+    psum rides ICI inside a slice before crossing DCN once per host.
+    """
+    devs = jax.devices()
+    n = len(devs)
+    if data_axis is None:
+        assert n % lattice_axis == 0, (n, lattice_axis)
+        data_axis = n // lattice_axis
+    assert data_axis * lattice_axis == n, (data_axis, lattice_axis, n)
+    # jax.devices() orders by (process, local id): a row-major reshape keeps
+    # local devices contiguous along the flattened (data, lattice) order
+    arr = np.asarray(devs).reshape(data_axis, lattice_axis)
+    return Mesh(arr, axis_names=("data", "lattice"))
+
+
+def process_local_batch_slice(global_batch: int) -> slice:
+    """The [start, stop) range of the global batch this process should load.
+
+    With B global samples over P processes each hosting L of the mesh's
+    data-axis entries, process p owns samples [p*B/P, (p+1)*B/P).
+    """
+    p = jax.process_index()
+    n = jax.process_count()
+    assert global_batch % n == 0, (global_batch, n)
+    per = global_batch // n
+    return slice(p * per, (p + 1) * per)

@@ -271,7 +271,17 @@ def run(args):
         # train epoch
         meter = AverageMeter()
         t0 = time.time()
+        # config `profile_dir`: capture a device trace of steps [2, 7) of
+        # the first epoch for TensorBoard (the reference has no tracing at
+        # all — SURVEY.md section 5)
+        profile_dir = args.get_or("profile_dir", None)
         for i, batch in enumerate(built["train_loader"]):
+            if profile_dir and epoch == start_epoch:
+                if i == 2:
+                    jax.profiler.start_trace(profile_dir)
+                elif i == 7:
+                    jax.profiler.stop_trace()
+                    logger.log(f"profile trace written to {profile_dir}")
             state, loss = train_step(state, _device_batch(batch))
             meter.update(float(loss), len(batch["path"]))
             if i % args.get_or("print_freq", 50) == 0:

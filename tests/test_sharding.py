@@ -118,3 +118,15 @@ def test_lattice_sharding_partitions_compute():
     out_sharded = np.asarray(fwd(params, pc1, pc2))
     out_plain = np.asarray(plain(params, pc1, pc2))
     np.testing.assert_allclose(out_sharded, out_plain, atol=1e-4)
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host helpers degrade cleanly to the single-process 8-CPU mesh."""
+    from hplflownet_tpu.parallel import (
+        initialize, global_mesh, process_local_batch_slice)
+    initialize()          # no coordinator: must no-op, not raise
+    mesh = global_mesh(lattice_axis=2)
+    assert dict(mesh.shape) == {"data": 4, "lattice": 2}
+    assert process_local_batch_slice(8) == slice(0, 8)
+    mesh_dp = global_mesh()
+    assert dict(mesh_dp.shape) == {"data": 8, "lattice": 1}
