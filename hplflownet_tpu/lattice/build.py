@@ -355,6 +355,56 @@ def _lex_le(ahi, alo, bhi, blo):
     return (ahi < bhi) | ((ahi == bhi) & (alo <= blo))
 
 
+def _lex_lt(ahi, alo, bhi, blo):
+    """(ahi, alo) < (bhi, blo) lexicographically, elementwise."""
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def _lower_bound_2level(vhi, vlo, qhi, qlo, with_found: bool = False):
+    """Exact count of table keys strictly below each query, sort-free.
+
+    Two dense compare levels instead of a sort-merge join (each boundary
+    join cost a ~0.1 ms sort pair; this is ~2M VPU compares): level 1
+    counts block-first keys below the query — only the last such block can
+    straddle the boundary (global sortedness) — and level 2 counts inside
+    that one block, fetched with the fast 128-row gather.
+
+    With ``with_found`` also returns whether the query key exists in the
+    table (the match, if any, sits at index ``lt``: inside the straddling
+    block, or — when that block is entirely below the query — at the next
+    block's first key).
+    """
+    lane = 128
+    n_t = vhi.shape[0]
+    pad = (-n_t) % lane
+    if pad:
+        filler = jnp.full((pad,), _SENTINEL, jnp.int32)
+        vhi = jnp.concatenate([vhi, filler])
+        vlo = jnp.concatenate([vlo, filler])
+    nbk = vhi.shape[0] // lane
+    bf_hi = vhi[::lane]                                    # (nbk,)
+    bf_lo = vlo[::lane]
+    shape = qhi.shape
+    qh = qhi.reshape(-1, 1)
+    ql = qlo.reshape(-1, 1)
+    b0 = jnp.sum(_lex_lt(bf_hi[None, :], bf_lo[None, :], qh, ql)
+                 .astype(jnp.int32), axis=1)               # (nq,)
+    safe_b = jnp.maximum(b0 - 1, 0)
+    row_hi = vhi.reshape(nbk, lane)[safe_b]                # (nq, 128)
+    row_lo = vlo.reshape(nbk, lane)[safe_b]
+    inblock = jnp.sum(_lex_lt(row_hi, row_lo, qh, ql).astype(jnp.int32),
+                      axis=1)
+    lt = jnp.where(b0 == 0, 0, (b0 - 1) * lane + inblock)
+    lt = jnp.minimum(lt, n_t)
+    if not with_found:
+        return lt.reshape(shape)
+    eq_in = jnp.any((row_hi == qh) & (row_lo == ql), axis=1)
+    bd = jnp.minimum(b0, nbk - 1)
+    eq_bd = (bf_hi[bd] == qh[:, 0]) & (bf_lo[bd] == ql[:, 0])
+    found = (eq_in & (b0 > 0)) | eq_bd
+    return lt.reshape(shape), found.reshape(shape)
+
+
 def _probe_rows_sorted(vhi, vlo, qhi, qlo, window=_PROBE_W_CORR):
     """Windowed probe for row-sorted queries.
 
@@ -380,7 +430,7 @@ def _probe_rows_sorted(vhi, vlo, qhi, qlo, window=_PROBE_W_CORR):
     nb = hp // b
 
     # block-boundary lower bounds via the small join: (f, nb) queries
-    lt, _ = _probe_counts(vhi, vlo, qhi_p[:, ::b], qlo_p[:, ::b])
+    lt = _lower_bound_2level(vhi, vlo, qhi_p[:, ::b], qlo_p[:, ::b])
     # windows start at a 128-aligned position so they can be fetched as
     # whole-row gathers of a (n/128, 128) view — XLA's fast row-gather path.
     # (An elementwise vhi[pos] gather lowers to scalar loads, ~1.2 ms per
@@ -487,10 +537,11 @@ def _build_from_elevated(
     # the first-occurrence positions compacted in order — one sort, no
     # binary search, no scatter.  The same sort's payload compacts the
     # unique keys into the vertex table via static slices.
+    # (flag, position) share one int32 word so the sort moves 3 arrays
     positions = jnp.arange(m, dtype=jnp.int32)
-    flag = jnp.where(is_new, 0, 1).astype(jnp.int32)
-    _, starts_sorted, comp_hi, comp_lo = jax.lax.sort(
-        (flag, positions, shi, slo), num_keys=2)
+    word = jnp.where(is_new, positions, positions + jnp.int32(1 << 28))
+    sword, comp_hi, comp_lo = jax.lax.sort((word, shi, slo), num_keys=1)
+    starts_sorted = sword & ((1 << 28) - 1)
     pad_n = max(0, capacity + 1 - m)
     if pad_n:
         starts_sorted = jnp.concatenate(
@@ -512,7 +563,10 @@ def _build_from_elevated(
     vlo = jnp.where(vertex_valid, comp_lo[:capacity], _SENTINEL)
 
     # per-entry dense ids are just the rank cumsum, unsorted back to flat
-    # order through the key sort's permutation (no probe needed)
+    # order through the key sort's permutation (no probe needed).  NB: a
+    # 2-level dense lower bound here is NOT faster — the queries are in
+    # original (unsorted) order, so its in-block row fetch becomes a random
+    # 128-row gather (~130 MB per build, measured far slower than the sort).
     ranks = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     ids_sorted = jnp.where(real & (ranks < capacity), ranks, -1)
     _, ids_flat = jax.lax.sort((perm, ids_sorted), num_keys=1)
