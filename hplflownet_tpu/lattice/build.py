@@ -36,7 +36,8 @@ import numpy as np
 
 from .geometry import PermutohedralGeometry
 from .offsets import neighborhood_offsets
-from ..ops.segment import ReducePlan, local_ranks, make_reduce_plan
+from ..ops.segment import (ReducePlan, local_ranks, make_reduce_plan,
+                           make_reduce_plans_batched)
 
 __all__ = [
     "probe_sharding",
@@ -580,12 +581,16 @@ def _build_from_elevated(
     barycentric = jnp.where(valid[:, None], kb.barycentric, 0.0)
     el_minus_gr = jnp.where(valid[:, None], kb.el_minus_gr, 0.0)
 
-    # splat plan for free: sorted-by-key order == sorted-by-id order
+    # splat plan for free: sorted-by-key order == sorted-by-id order;
+    # target ids equal dense ranks, so the block-first-rank array enables
+    # the gather-free rank-mode reduction (ops/segment.py).  ranks[::128]
+    # yields ceil(m/128) entries — exactly one per (possibly padded) block.
     same_prev = jnp.concatenate(
         [jnp.zeros((1,), bool), (shi[1:] == shi[:-1]) & (slo[1:] == slo[:-1])])
     splat_plan = ReducePlan(ids=lattice_offset.reshape(-1), perm=perm,
                             start=vertex_start, end=vertex_end,
-                            lrank=local_ranks(same_prev))
+                            lrank=local_ranks(same_prev),
+                            r0=ranks[::128])
 
     return CloudLattice(
         lattice_offset=lattice_offset,
@@ -755,7 +760,8 @@ def build_pyramid(
             perm=jnp.zeros((1,), jnp.int32),
             start=jnp.zeros((1,), jnp.int32),
             end=jnp.zeros((1,), jnp.int32),
-            lrank=jnp.zeros((1,), jnp.int32))
+            lrank=jnp.zeros((1,), jnp.int32),
+            r0=jnp.zeros((1,), jnp.int32))
 
         if ss.corr_filter_radius != -1:
             f_offs = neighborhood_offsets(ss.corr_filter_radius, spec.d)
@@ -777,9 +783,10 @@ def build_pyramid(
                 corr1_plan = make_reduce_plan(corr1, ss.capacity)
                 # per-unique-offset plans for the spread2 adjoint (a single
                 # plan over all U*H entries would need the full gradient
-                # buffer materialized at once)
-                corr2_plan = jax.vmap(
-                    lambda t: make_reduce_plan(t, ss.capacity))(corr2u)
+                # buffer materialized at once); built from ONE composite
+                # flat sort — vmapped plans lower to pathological rank-2
+                # lax.sorts (see segment.make_reduce_plans_batched)
+                corr2_plan = make_reduce_plans_batched(corr2u, ss.capacity)
             else:
                 corr1_plan = dummy_plan
                 corr2_plan = jax.tree_util.tree_map(

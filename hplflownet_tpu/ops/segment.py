@@ -40,6 +40,10 @@ class ReducePlan(NamedTuple):
     end: jax.Array    # (T,) i32 run ends
     lrank: jax.Array  # (M,) i32 local run rank within each _BLOCK-sized block
                       # of the sorted stream (see local_ranks)
+    # (M/_BLOCK,) i32 global run rank of each block's first entry, for plans
+    # whose target ids ARE the dense ranks (the builder's splat plans);
+    # size-1 dummy otherwise.  Enables the gather-free rank-mode reduction.
+    r0: jax.Array
 
 
 def _searchsorted(sorted_vals: jax.Array, queries: jax.Array,
@@ -125,7 +129,8 @@ def make_reduce_plan(ids: jax.Array, num_targets: int) -> ReducePlan:
     same = jnp.concatenate(
         [jnp.zeros((1,), bool), sorted_ids[1:] == sorted_ids[:-1]])
     return ReducePlan(ids=flat, perm=perm, start=start, end=end,
-                      lrank=local_ranks(same))
+                      lrank=local_ranks(same),
+                      r0=jnp.zeros((1,), jnp.int32))
 
 
 @jax.custom_vjp
@@ -168,6 +173,48 @@ def _forward(plan: ReducePlan, vals: jax.Array) -> jax.Array:
     totals = jnp.sum(blocks, axis=1)                            # (nb, C)
     csum = jnp.concatenate(
         [jnp.zeros((1, c), jnp.float32), jnp.cumsum(totals, axis=0)], axis=0)
+    # rank-mode interior sums use the first-row column of each block
+    csum0 = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.float32),
+         jnp.cumsum(partial[:, 0, :], axis=0)], axis=0)
+
+    t = plan.start.shape[0]
+    if plan.r0.shape[0] > 1:
+        # rank-mode (builder splat plans: target id == dense run rank).
+        # A rank's rows live in the contiguous block range [b_lo, b_hi];
+        # all of it derives from the block-first-rank array r0 with dense
+        # compares — the generic path's lrank[start]/lrank[end-1] lookups
+        # are elementwise int gathers costing ~0.2 ms each at 32k targets.
+        r0 = plan.r0                                       # (nb,)
+        big = jnp.int32(np.iinfo(np.int32).max)
+        r0n = jnp.concatenate([r0[1:], jnp.full((1,), big, jnp.int32)])
+        r = jnp.arange(t, dtype=jnp.int32)[:, None]        # (T, 1)
+        # first/last block holding rank r: a block b holds it iff
+        # r0[b] <= r <= r_last(b), and r_last(b) is r0[b+1] or r0[b+1]-1;
+        # blocks with r0[b+1] < r end strictly below r.  The boundary case
+        # r0[b+1] == r may include one leading block without rank-r rows —
+        # its addressed P row is empty (zero) or out of range (masked).
+        b_hi = jnp.sum((r0[None, :] <= r).astype(jnp.int32), axis=1) - 1
+        b_lo = jnp.sum((r0n[None, :] < r).astype(jnp.int32), axis=1)
+        # r0 at b_lo via a masked min over the same compare grid
+        r0_lo = jnp.min(jnp.where(r0n[None, :] >= r, r0[None, :], big),
+                        axis=1)
+        exists = b_lo <= b_hi
+        safe_lo = jnp.where(exists, b_lo, 0)
+        safe_hi = jnp.where(exists, b_hi, 0)
+        k_head = r[:, 0] - r0_lo
+        head = jnp.where(
+            (exists & (k_head < _BLOCK))[:, None],
+            partial_flat[safe_lo * _BLOCK + jnp.clip(k_head, 0, _BLOCK - 1)],
+            0.0)
+        multi = exists & (b_hi > b_lo)
+        # blocks in (b_lo, b_hi) are wholly this rank's: their row is
+        # P[b, 0], and the continuing b_hi block's first entry is also this
+        # rank (k=0)
+        tail = (partial_flat[safe_hi * _BLOCK]
+                + csum0[safe_hi] - csum0[safe_lo + 1])
+        out = head + jnp.where(multi[:, None], tail, 0.0)
+        return jnp.where(exists[:, None], out, 0.0).astype(vals.dtype)
 
     start, end = plan.start, plan.end
     empty = start >= end
@@ -195,3 +242,64 @@ def _bwd(plan, g):
 
 
 apply_reduce_plan.defvjp(_fwd, _bwd)
+
+
+def make_reduce_plans_batched(tables: jax.Array,      # (U, H) i32 ids, -1 drop
+                              num_targets: int) -> ReducePlan:
+    """U independent plans as stacked leaves, built sort-efficiently.
+
+    ``jax.vmap(make_reduce_plan)`` would lower to rank-2 ``lax.sort``s —
+    pathological on this TPU stack (a (65, H) vmapped sort measured slower
+    than 3x the flat equivalent; see CLAUDE.md).  Instead ONE flat sort of
+    composite keys ``u * (T + 1) + id`` (invalid ids map to ``T`` so every
+    u-segment keeps exactly H entries), then per-u run bounds via dense
+    2-level lower bounds (compares + row gathers, no sorts).
+    """
+    u, h = tables.shape
+    t = num_targets
+    assert u * (t + 1) < (1 << 30)
+    flat = tables.astype(jnp.int32)
+    key = (jnp.arange(u, dtype=jnp.int32)[:, None] * (t + 1)
+           + jnp.where(flat < 0, t, flat)).reshape(-1)
+    iota = jnp.arange(u * h, dtype=jnp.int32)
+    skey, perm_g = jax.lax.sort((key, iota), num_keys=1)
+    sorted_ids = skey.reshape(u, h) - (
+        jnp.arange(u, dtype=jnp.int32)[:, None] * (t + 1))   # (U, H), T=inval
+    perm = perm_g.reshape(u, h) - jnp.arange(
+        u, dtype=jnp.int32)[:, None] * h                     # per-u local
+
+    # per-u run bounds: 2-level dense lower bound over each sorted segment
+    lane = 128
+    pad = (-h) % lane
+    sid = sorted_ids
+    if pad:
+        sid = jnp.concatenate(
+            [sid, jnp.full((u, pad), t, jnp.int32)], axis=1)
+    nbk = sid.shape[1] // lane
+    blocks = sid.reshape(u, nbk, lane)
+    bf = blocks[:, :, 0]                                     # (U, nbk)
+    q = jnp.arange(t, dtype=jnp.int32)[None, :, None]        # (1, T, 1)
+
+    def counts(strict):
+        cmp = (bf[:, None, :] < q) if strict else (bf[:, None, :] <= q)
+        b0 = jnp.sum(cmp.astype(jnp.int32), axis=2)          # (U, T)
+        safe_b = jnp.maximum(b0 - 1, 0)
+        rows = blocks.reshape(u * nbk, lane)[
+            (jnp.arange(u, dtype=jnp.int32)[:, None] * nbk + safe_b)
+            .reshape(-1)].reshape(u, t, lane)
+        qq = q.transpose(0, 1, 2)
+        inb = (rows < qq) if strict else (rows <= qq)
+        inblock = jnp.sum(inb.astype(jnp.int32), axis=2)
+        cnt = jnp.where(b0 == 0, 0, (b0 - 1) * lane + inblock)
+        return jnp.minimum(cnt, h)
+
+    start = counts(strict=True)                              # (U, T)
+    end = counts(strict=False)
+
+    same = jnp.concatenate(
+        [jnp.zeros((u, 1), bool), sorted_ids[:, 1:] == sorted_ids[:, :-1]],
+        axis=1)
+    lrank = jax.vmap(local_ranks)(same)                      # (U, H)
+    return ReducePlan(ids=flat, perm=perm, start=start, end=end,
+                      lrank=lrank,
+                      r0=jnp.zeros((u, 1), jnp.int32))
