@@ -36,8 +36,7 @@ import numpy as np
 
 from .geometry import PermutohedralGeometry
 from .offsets import neighborhood_offsets
-from ..ops.segment import (ReducePlan, local_ranks, make_reduce_plan,
-                           make_reduce_plans_batched)
+from ..ops.segment import ReducePlan, local_ranks, make_reduce_plan
 
 __all__ = [
     "probe_sharding",
@@ -121,8 +120,10 @@ class ScalePair(NamedTuple):
     pc1_splat_plan: ReducePlan     # lattice_offset1 -> H1 (splat fwd + slice bwd)
     pc2_splat_plan: ReducePlan     # lattice_offset2 -> H2
     pc1_corr_plan: ReducePlan      # pc1_corr_indices -> H1 (corr spread1 bwd)
-    pc2_corr_plan: ReducePlan      # per-unique-offset plans, leaves stacked
-                                   # over U: pc2_corr_uniq[u] -> H2
+    # (U, H2) i32 adjoint index map of pc2_corr_uniq — uniq_inv[u, r] =
+    # id1(key2[r] - uniq_delta[u]) — built only when adjoint_plans; turns
+    # the correlation backward into one batched gather ((1, 1) otherwise)
+    pc2_corr_uniq_inv: jax.Array
     # () i32: queries whose true position fell outside the windowed probe's
     # static window (degraded to "absent" like capacity overflow; 0 on
     # realistic clouds — see _probe_rows_sorted)
@@ -629,7 +630,8 @@ def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int):
 
 def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
                  filter_offsets: np.ndarray, corr_offsets: np.ndarray, d: int,
-                 pc1_corr: jax.Array | None = None):
+                 pc1_corr: jax.Array | None = None,
+                 with_inverse: bool = False):
     """Correlation index tables (reference semantics, transforms.py:223-241).
 
     pc1_corr[c, h]       = id of (key1[h] + corr_offsets[c]) in cloud-1 table
@@ -639,6 +641,12 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
     Pass ``pc1_corr`` to reuse an existing table (e.g. the blur-neighbor
     table when the stencils coincide).  Also returns the summed
     window-overflow count of its probes.
+
+    ``with_inverse`` additionally probes the NEGATED unique offsets from
+    cloud-2 keys into the cloud-1 table: ``uniq_inv[u, r] = id1(key2[r] -
+    uniq_delta[u])`` — the exact adjoint index map of ``uniq_tab`` (the
+    vertex-id maps are injective), which turns the correlation backward's
+    scatter into one batched gather (ops/corr.py _corr_cross_bwd).
     """
     probe_overflow = jnp.zeros((), jnp.int32)
     ok_v = cl1.vertex_valid[None, :]
@@ -674,7 +682,21 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
 
     nf, nc = filter_offsets.shape[0], corr_offsets.shape[0]
     inverse = jnp.asarray(inverse.astype(np.int32).reshape(nf, nc))
-    return pc1_corr, uniq_tab, inverse, probe_overflow
+
+    uniq_inv = jnp.zeros((1, 1), dtype=jnp.int32)
+    if with_inverse:
+        nhi, nlo = _pack_deltas(-uniq, d)                   # (U,)
+        ok_v2 = cl2.vertex_valid[None, :]
+        rhi = jnp.where(ok_v2, nhi[:, None] + cl2.vkeys_hi[None, :],
+                        _SENTINEL)
+        rlo = jnp.where(ok_v2, nlo[:, None] + cl2.vkeys_lo[None, :],
+                        _SENTINEL)
+        idx3, found3, oflow3 = _probe_dispatch(cl1.vkeys_hi, cl1.vkeys_lo,
+                                               rhi, rlo, rows_sorted=True)
+        probe_overflow = probe_overflow + jnp.sum(oflow3)
+        ok3 = found3 & ok_v2
+        uniq_inv = jnp.where(ok3, idx3, -1).astype(jnp.int32)  # (U, H2)
+    return pc1_corr, uniq_tab, inverse, uniq_inv, probe_overflow
 
 
 def _next_elevated(geom: PermutohedralGeometry, cl: CloudLattice,
@@ -769,11 +791,13 @@ def build_pyramid(
             if ss.corr_corr_radius == ss.blur_radius and ss.blur_radius != -1:
                 # identical stencil + identical table => pc1_corr == blur
                 # neighbors; skip Cc*H probes (default config has all radii 1)
-                corr1, corr2u, corr2inv, of_c = _corr_tables(
-                    cl1, cl2, f_offs, c_offs, spec.d, pc1_corr=nb1)
+                corr1, corr2u, corr2inv, corr2u_inv, of_c = _corr_tables(
+                    cl1, cl2, f_offs, c_offs, spec.d, pc1_corr=nb1,
+                    with_inverse=adjoint_plans)
             else:
-                corr1, corr2u, corr2inv, of_c = _corr_tables(
-                    cl1, cl2, f_offs, c_offs, spec.d)
+                corr1, corr2u, corr2inv, corr2u_inv, of_c = _corr_tables(
+                    cl1, cl2, f_offs, c_offs, spec.d,
+                    with_inverse=adjoint_plans)
             probe_oflow = probe_oflow + of_c
             stencil_oflow = (stencil_oflow
                              + stencil_overflow_count(corr1, ss.capacity, 384)
@@ -781,22 +805,14 @@ def build_pyramid(
                                                       512))
             if adjoint_plans:
                 corr1_plan = make_reduce_plan(corr1, ss.capacity)
-                # per-unique-offset plans for the spread2 adjoint (a single
-                # plan over all U*H entries would need the full gradient
-                # buffer materialized at once); built from ONE composite
-                # flat sort — vmapped plans lower to pathological rank-2
-                # lax.sorts (see segment.make_reduce_plans_batched)
-                corr2_plan = make_reduce_plans_batched(corr2u, ss.capacity)
             else:
                 corr1_plan = dummy_plan
-                corr2_plan = jax.tree_util.tree_map(
-                    lambda x: x[None], dummy_plan)
         else:
             corr1 = jnp.zeros((1, 1), dtype=jnp.int32)
             corr2u = jnp.zeros((1, 1), dtype=jnp.int32)
             corr2inv = jnp.zeros((1, 1), dtype=jnp.int32)
+            corr2u_inv = jnp.zeros((1, 1), dtype=jnp.int32)
             corr1_plan = dummy_plan
-            corr2_plan = jax.tree_util.tree_map(lambda x: x[None], dummy_plan)
 
         scales_out.append(ScalePair(
             pc1_barycentric=cl1.barycentric,
@@ -817,7 +833,7 @@ def build_pyramid(
             pc1_splat_plan=cl1.splat_plan,
             pc2_splat_plan=cl2.splat_plan,
             pc1_corr_plan=corr1_plan,
-            pc2_corr_plan=corr2_plan,
+            pc2_corr_uniq_inv=corr2u_inv,
             probe_overflow=probe_oflow,
             stencil_overflow=stencil_oflow,
         ))

@@ -141,7 +141,7 @@ class HPLFlowNet(nn.Module):
                 pc2_corr_uniq=sp.pc2_corr_uniq,
                 pc2_corr_inverse=sp.pc2_corr_inverse,
                 pc1_corr_plan=sp.pc1_corr_plan,
-                pc2_corr_plan=sp.pc2_corr_plan)
+                pc2_corr_uniq_inv=sp.pc2_corr_uniq_inv)
 
         pc1_out1, pc2_out1 = down(self.bcn1, scales[0], feat1, feat2)
         pc1_out2, pc2_out2 = down(self.bcn2, scales[1], pc1_out1, pc2_out1)

@@ -113,7 +113,7 @@ corr_self.defvjp(_corr_self_fwd, _corr_self_bwd)
 def corr_cross(pad2: jax.Array,       # (H2+1, C)
                uniq_idx: jax.Array,   # (U, H1) unique-offset index rows
                k2: jax.Array,         # (U, C, F, W) inverse-folded kernel
-               plans: ReducePlan      # leaves stacked over U, each -> H2
+               uniq_inv: jax.Array    # (U, H2) adjoint index map, -1 absent
                ) -> jax.Array:
     """cross[h, f, w] = sum_u pad2[uniq_idx[u, h] + 1] @ k2[u] -> (H1, F, W).
 
@@ -134,29 +134,32 @@ def _corr_cross_impl(pad2, uniq_idx, k2):
     return flat.reshape(flat.shape[0], f, w)
 
 
-def _corr_cross_fwd(pad2, uniq_idx, k2, plans):
-    return _corr_cross_impl(pad2, uniq_idx, k2), (pad2, uniq_idx, k2, plans)
+def _corr_cross_fwd(pad2, uniq_idx, k2, uniq_inv):
+    return _corr_cross_impl(pad2, uniq_idx, k2), (pad2, uniq_idx, k2,
+                                                  uniq_inv)
 
 
 def _corr_cross_bwd(res, g):                                 # g: (H1, F, W)
-    pad2, uniq_idx, k2, plans = res
+    pad2, uniq_idx, k2, uniq_inv = res
     c = pad2.shape[1]
-    h2 = pad2.shape[0] - 1
+    u, h1 = uniq_idx.shape
+    h2 = uniq_inv.shape[1]
     gc = g.astype(pad2.dtype)
 
-    def step(carry, inputs):
-        d_rows_acc = carry
-        idx_u, plan_u, k2_u = inputs                         # k2_u: (C, F, W)
-        # d_spread[u] = einsum over (f, w); one unique offset at a time keeps
-        # peak memory at (H1, C) per step
-        dvals = jnp.einsum("hfw,cfw->hc", gc, k2_u,
-                           preferred_element_type=jnp.float32)
-        d_rows = apply_reduce_plan(plan_u, dvals)
-        return d_rows_acc + d_rows, None
-
-    d_rows, _ = jax.lax.scan(
-        step, jnp.zeros((h2, c), jnp.float32),
-        (uniq_idx, plans, k2))
+    # The vertex-id maps are injective, so the adjoint of the uniq_idx
+    # gather is itself a gather through the negated-offset table:
+    #   d_pad2[r] = sum_u dvals[u, uniq_inv[u, r]]
+    # One batched row-gather replaces the previous per-offset scan of plan
+    # reductions (measured 28 ms of while loops + 11 ms of sliced gathers
+    # per train step at the biggest scale).
+    dvals = jnp.einsum("hfw,ucfw->uhc", gc, k2,
+                       preferred_element_type=jnp.float32)   # (U, H1, C)
+    dv_pad = jnp.concatenate(
+        [jnp.zeros((u, 1, c), jnp.float32), dvals], axis=1)  # sentinel row
+    flat_idx = (jnp.arange(u, dtype=jnp.int32)[:, None] * (h1 + 1)
+                + uniq_inv + 1)                              # (U, H2)
+    contrib = dv_pad.reshape(u * (h1 + 1), c)[flat_idx.reshape(-1)]
+    d_rows = jnp.sum(contrib.reshape(u, h2, c), axis=0)      # (H2, C)
     d_pad2 = jnp.concatenate([jnp.zeros((1, c), jnp.float32), d_rows],
                              axis=0).astype(pad2.dtype)
 
@@ -205,7 +208,7 @@ class BilateralCorrelation(nn.Module):
         pc2_corr_uniq: jax.Array,             # (U, H1)
         pc2_corr_inverse: jax.Array,          # (F, Cc) -> u
         pc1_corr_plan: ReducePlan | None = None,
-        pc2_corr_plan: ReducePlan | None = None,
+        pc2_corr_uniq_inv: jax.Array | None = None,
     ) -> jax.Array:
         h1, num_input = feat1.shape
         act = _activation(self.use_leaky)
@@ -247,7 +250,7 @@ class BilateralCorrelation(nn.Module):
         onehot = jax.nn.one_hot(pc2_corr_inverse, n_uniq, dtype=dt)
         k2 = jnp.einsum("fku,kcw->ucfw", onehot, k_cross,
                         preferred_element_type=jnp.float32).astype(dt)
-        cross = corr_cross(pad2, pc2_corr_uniq, k2, pc2_corr_plan)
+        cross = corr_cross(pad2, pc2_corr_uniq, k2, pc2_corr_uniq_inv)
         y = act(a_self[:, None, :] + cross)                  # (H1, F, wc0)
 
         for i, w in enumerate(self.corr_widths[1:], start=1):

@@ -242,64 +242,3 @@ def _bwd(plan, g):
 
 
 apply_reduce_plan.defvjp(_fwd, _bwd)
-
-
-def make_reduce_plans_batched(tables: jax.Array,      # (U, H) i32 ids, -1 drop
-                              num_targets: int) -> ReducePlan:
-    """U independent plans as stacked leaves, built sort-efficiently.
-
-    ``jax.vmap(make_reduce_plan)`` would lower to rank-2 ``lax.sort``s —
-    pathological on this TPU stack (a (65, H) vmapped sort measured slower
-    than 3x the flat equivalent; see CLAUDE.md).  Instead ONE flat sort of
-    composite keys ``u * (T + 1) + id`` (invalid ids map to ``T`` so every
-    u-segment keeps exactly H entries), then per-u run bounds via dense
-    2-level lower bounds (compares + row gathers, no sorts).
-    """
-    u, h = tables.shape
-    t = num_targets
-    assert u * (t + 1) < (1 << 30)
-    flat = tables.astype(jnp.int32)
-    key = (jnp.arange(u, dtype=jnp.int32)[:, None] * (t + 1)
-           + jnp.where(flat < 0, t, flat)).reshape(-1)
-    iota = jnp.arange(u * h, dtype=jnp.int32)
-    skey, perm_g = jax.lax.sort((key, iota), num_keys=1)
-    sorted_ids = skey.reshape(u, h) - (
-        jnp.arange(u, dtype=jnp.int32)[:, None] * (t + 1))   # (U, H), T=inval
-    perm = perm_g.reshape(u, h) - jnp.arange(
-        u, dtype=jnp.int32)[:, None] * h                     # per-u local
-
-    # per-u run bounds: 2-level dense lower bound over each sorted segment
-    lane = 128
-    pad = (-h) % lane
-    sid = sorted_ids
-    if pad:
-        sid = jnp.concatenate(
-            [sid, jnp.full((u, pad), t, jnp.int32)], axis=1)
-    nbk = sid.shape[1] // lane
-    blocks = sid.reshape(u, nbk, lane)
-    bf = blocks[:, :, 0]                                     # (U, nbk)
-    q = jnp.arange(t, dtype=jnp.int32)[None, :, None]        # (1, T, 1)
-
-    def counts(strict):
-        cmp = (bf[:, None, :] < q) if strict else (bf[:, None, :] <= q)
-        b0 = jnp.sum(cmp.astype(jnp.int32), axis=2)          # (U, T)
-        safe_b = jnp.maximum(b0 - 1, 0)
-        rows = blocks.reshape(u * nbk, lane)[
-            (jnp.arange(u, dtype=jnp.int32)[:, None] * nbk + safe_b)
-            .reshape(-1)].reshape(u, t, lane)
-        qq = q.transpose(0, 1, 2)
-        inb = (rows < qq) if strict else (rows <= qq)
-        inblock = jnp.sum(inb.astype(jnp.int32), axis=2)
-        cnt = jnp.where(b0 == 0, 0, (b0 - 1) * lane + inblock)
-        return jnp.minimum(cnt, h)
-
-    start = counts(strict=True)                              # (U, T)
-    end = counts(strict=False)
-
-    same = jnp.concatenate(
-        [jnp.zeros((u, 1), bool), sorted_ids[:, 1:] == sorted_ids[:, :-1]],
-        axis=1)
-    lrank = jax.vmap(local_ranks)(same)                      # (U, H)
-    return ReducePlan(ids=flat, perm=perm, start=start, end=end,
-                      lrank=lrank,
-                      r0=jnp.zeros((u, 1), jnp.int32))

@@ -211,7 +211,7 @@ def test_gather_rows_and_corr_cross_grads():
         return jnp.einsum("fkhc,kcw->hfw", sp2, k)
 
     def ours(p2, k):
-        return corr_cross(p2, uniq, k2_of(k), sp.pc2_corr_plan)
+        return corr_cross(p2, uniq, k2_of(k), sp.pc2_corr_uniq_inv)
 
     np.testing.assert_allclose(np.asarray(ours(pad2, k_cross)),
                                np.asarray(ref(pad2, k_cross)), atol=1e-4)
@@ -292,7 +292,7 @@ def test_bilateral_correlation_matches_oracle():
         pc2_corr_uniq=sp.pc2_corr_uniq,
         pc2_corr_inverse=sp.pc2_corr_inverse,
         pc1_corr_plan=sp.pc1_corr_plan,
-        pc2_corr_plan=sp.pc2_corr_plan,
+        pc2_corr_uniq_inv=sp.pc2_corr_uniq_inv,
     )
     params = mod.init(jax.random.PRNGKey(1), jnp.asarray(feat1),
                       jnp.asarray(feat2), **args)
