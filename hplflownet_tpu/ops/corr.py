@@ -152,14 +152,18 @@ def _corr_cross_bwd(res, g):                                 # g: (H1, F, W)
     # One batched row-gather replaces the previous per-offset scan of plan
     # reductions (measured 28 ms of while loops + 11 ms of sliced gathers
     # per train step at the biggest scale).
+    # bf16 gather + clamp/mask (no sentinel pad row): halves the 200 MB of
+    # gather traffic and avoids materializing a padded copy; the f32
+    # accumulation happens in the masked sum
     dvals = jnp.einsum("hfw,ucfw->uhc", gc, k2,
                        preferred_element_type=jnp.float32)   # (U, H1, C)
-    dv_pad = jnp.concatenate(
-        [jnp.zeros((u, 1, c), jnp.float32), dvals], axis=1)  # sentinel row
-    flat_idx = (jnp.arange(u, dtype=jnp.int32)[:, None] * (h1 + 1)
-                + uniq_inv + 1)                              # (U, H2)
-    contrib = dv_pad.reshape(u * (h1 + 1), c)[flat_idx.reshape(-1)]
-    d_rows = jnp.sum(contrib.reshape(u, h2, c), axis=0)      # (H2, C)
+    dv = dvals.astype(pad2.dtype).reshape(u * h1, c)
+    flat_idx = (jnp.arange(u, dtype=jnp.int32)[:, None] * h1
+                + jnp.maximum(uniq_inv, 0))                  # (U, H2)
+    contrib = dv[flat_idx.reshape(-1)].reshape(u, h2, c)
+    mask = (uniq_inv >= 0)[:, :, None]
+    d_rows = jnp.sum(jnp.where(mask, contrib, 0).astype(jnp.float32),
+                     axis=0)                                 # (H2, C)
     d_pad2 = jnp.concatenate([jnp.zeros((1, c), jnp.float32), d_rows],
                              axis=0).astype(pad2.dtype)
 
