@@ -119,7 +119,6 @@ class ScalePair(NamedTuple):
     # scatter-free adjoint plans (ops/segment.py):
     pc1_splat_plan: ReducePlan     # lattice_offset1 -> H1 (splat fwd + slice bwd)
     pc2_splat_plan: ReducePlan     # lattice_offset2 -> H2
-    pc1_corr_plan: ReducePlan      # pc1_corr_indices -> H1 (corr spread1 bwd)
     # (U, H2) i32 adjoint index map of pc2_corr_uniq — uniq_inv[u, r] =
     # id1(key2[r] - uniq_delta[u]) — built only when adjoint_plans; turns
     # the correlation backward into one batched gather ((1, 1) otherwise)
@@ -469,14 +468,15 @@ def _probe_rows_sorted(vhi, vlo, qhi, qlo, bw=_PROBE_BW_CORR):
     rows = rows.reshape(-1)
     whi = vhi_p.reshape(-1, lane)[rows].reshape(f, nb, 1, w)
     wlo = vlo_p.reshape(-1, lane)[rows].reshape(f, nb, 1, w)
-    pos = start[:, :, None, None] + jnp.arange(w, dtype=jnp.int32)
-    in_table = pos < n_t
     qh = qhi_p.reshape(f, nb, b, 1)
     ql = qlo_p.reshape(f, nb, b, 1)
     # one fused reduce: low 16 bits count "window key <= query", bit 16
-    # counts exact matches (at most one — table keys are unique)
-    le_term = in_table & _lex_le(whi, wlo, qh, ql)
-    eq_term = in_table & (whi == qh) & (wlo == ql)
+    # counts exact matches (at most one — table keys are unique).  No
+    # in-table masking needed: positions past the table read the sentinel
+    # padding, which never compares <= a real (non-sentinel) query, and
+    # sentinel queries' results are discarded by the callers.
+    le_term = _lex_le(whi, wlo, qh, ql)
+    eq_term = (whi == qh) & (wlo == ql)
     enc = le_term.astype(jnp.int32) + (eq_term.astype(jnp.int32) << 16)
     cnt = jnp.sum(enc, axis=-1)                                   # (f, nb, b)
     idx = start[:, :, None] + (cnt & 0xFFFF) - 1
@@ -777,13 +777,6 @@ def build_pyramid(
             nb1 = jnp.zeros((1, 1), dtype=jnp.int32)
             nb2 = jnp.zeros((1, 1), dtype=jnp.int32)
 
-        dummy_plan = ReducePlan(
-            ids=jnp.full((1,), -1, jnp.int32),
-            perm=jnp.zeros((1,), jnp.int32),
-            start=jnp.zeros((1,), jnp.int32),
-            end=jnp.zeros((1,), jnp.int32),
-            lrank=jnp.zeros((1,), jnp.int32),
-            r0=jnp.zeros((1,), jnp.int32))
 
         if ss.corr_filter_radius != -1:
             f_offs = neighborhood_offsets(ss.corr_filter_radius, spec.d)
@@ -803,16 +796,11 @@ def build_pyramid(
                              + stencil_overflow_count(corr1, ss.capacity, 384)
                              + stencil_overflow_count(corr2u, ss.capacity,
                                                       512))
-            if adjoint_plans:
-                corr1_plan = make_reduce_plan(corr1, ss.capacity)
-            else:
-                corr1_plan = dummy_plan
         else:
             corr1 = jnp.zeros((1, 1), dtype=jnp.int32)
             corr2u = jnp.zeros((1, 1), dtype=jnp.int32)
             corr2inv = jnp.zeros((1, 1), dtype=jnp.int32)
             corr2u_inv = jnp.zeros((1, 1), dtype=jnp.int32)
-            corr1_plan = dummy_plan
 
         scales_out.append(ScalePair(
             pc1_barycentric=cl1.barycentric,
@@ -832,7 +820,6 @@ def build_pyramid(
             pc2_overflow=cl2.overflow,
             pc1_splat_plan=cl1.splat_plan,
             pc2_splat_plan=cl2.splat_plan,
-            pc1_corr_plan=corr1_plan,
             pc2_corr_uniq_inv=corr2u_inv,
             probe_overflow=probe_oflow,
             stencil_overflow=stencil_oflow,

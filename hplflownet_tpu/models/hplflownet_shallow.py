@@ -56,6 +56,7 @@ class HPLFlowNetShallow(nn.Module):
                 corr_widths=(32,), widths=(32,),
                 corr_size=fs(sfm[scale_idx][3]),
                 filter_size=fs(sfm[scale_idx][2]),
+                corr_tap_negation=tap_negation(int(sfm[scale_idx][3]), d),
                 prev_corr_dim=prev_dim, use_norm=self.bcn_use_norm,
                 use_leaky=self.use_leaky, last_relu=self.last_relu,
                 compute_dtype=self.compute_dtype, name=name)
@@ -116,7 +117,6 @@ class HPLFlowNetShallow(nn.Module):
                 pc1_corr_indices=sp.pc1_corr_indices,
                 pc2_corr_uniq=sp.pc2_corr_uniq,
                 pc2_corr_inverse=sp.pc2_corr_inverse,
-                pc1_corr_plan=sp.pc1_corr_plan,
                 pc2_corr_uniq_inv=sp.pc2_corr_uniq_inv)
 
         pc1_out1, pc2_out1 = down(self.bcn1, scales[0], feat1, feat2)

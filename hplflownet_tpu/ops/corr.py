@@ -20,6 +20,7 @@ scatters anywhere (see ops/segment.py).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -64,34 +65,45 @@ def _gather_bwd(res, g):
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
 
 
-@jax.custom_vjp
-def corr_self(table_pad: jax.Array,   # (H1+1, C), row 0 zero sentinel
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def corr_self(tap_negation: tuple,    # static: index of -offset per tap
+              table_pad: jax.Array,   # (H1+1, C), row 0 zero sentinel
               indices: jax.Array,     # (Cc, H1) int32, -1 = absent
               k_self: jax.Array,      # (Cc, C, W)
-              plan: ReducePlan        # over indices.reshape(-1) -> H1
               ) -> jax.Array:
     """sum_k table_pad[indices[k] + 1] @ k_self[k] -> (H1, W).
 
     The patch-correlation self term as one fused stencil contraction (the
-    Pallas kernel on TPU); its adjoint reduces through the builder's plan —
-    no scatter, and no (Cc, H1, C) spread materialized in forward.
+    Pallas kernel on TPU).  Its adjoint exploits the corr stencil's closure
+    under negation: whoever reads vertex r via offset c is r's neighbor
+    via -c, so ``d_table[r] = sum_c dvals[c, indices[neg(c), r]]`` — a
+    gather through the SAME index table with permuted rows, no plan
+    reduction and no scatter.
     """
     return _stencil(table_pad, indices, k_self)
 
 
-def _corr_self_fwd(table_pad, indices, k_self, plan):
-    return _stencil(table_pad, indices, k_self), (table_pad, indices,
-                                                  k_self, plan)
+def _corr_self_fwd(tap_negation, table_pad, indices, k_self):
+    return _stencil(table_pad, indices, k_self), (table_pad, indices, k_self)
 
 
-def _corr_self_bwd(res, g):                                  # g: (H1, W)
-    table_pad, indices, k_self, plan = res
+def _corr_self_bwd(tap_negation, res, g):                    # g: (H1, W)
+    table_pad, indices, k_self = res
     c = table_pad.shape[1]
+    cc, h1 = indices.shape
     gc = g.astype(table_pad.dtype)
-    # d_table rows: vals[k, h] = g[h] @ k_self[k]^T, reduced by the plan
-    vals = jnp.einsum("hw,kcw->khc", gc, k_self,
-                      preferred_element_type=jnp.float32)
-    d_rows = apply_reduce_plan(plan, vals.reshape(-1, c))
+    neg = jnp.asarray(tap_negation, dtype=jnp.int32)
+
+    dvals = jnp.einsum("hw,kcw->khc", gc, k_self,
+                       preferred_element_type=jnp.float32)    # (Cc, H1, C)
+    dv = dvals.astype(table_pad.dtype).reshape(cc * h1, c)
+    inv_idx = indices[neg]                                    # (Cc, H1)
+    flat_idx = (jnp.arange(cc, dtype=jnp.int32)[:, None] * h1
+                + jnp.maximum(inv_idx, 0))
+    contrib = dv[flat_idx.reshape(-1)].reshape(cc, h1, c)
+    mask = (inv_idx >= 0)[:, :, None]
+    d_rows = jnp.sum(jnp.where(mask, contrib, 0).astype(jnp.float32),
+                     axis=0)                                  # (H1, C)
     d_table = jnp.concatenate(
         [jnp.zeros((1, c), d_rows.dtype), d_rows], axis=0)
     # d_k_self: recompute the spread (bwd only, XLA gather)
@@ -99,7 +111,7 @@ def _corr_self_bwd(res, g):                                  # g: (H1, W)
     d_k = jnp.einsum("khc,hw->kcw", spread, gc,
                      preferred_element_type=jnp.float32)
     return (d_table.astype(table_pad.dtype), None,
-            d_k.astype(k_self.dtype), None)
+            d_k.astype(k_self.dtype))
 
 
 corr_self.defvjp(_corr_self_fwd, _corr_self_bwd)
@@ -194,6 +206,7 @@ class BilateralCorrelation(nn.Module):
     widths: Sequence[int]
     corr_size: int
     filter_size: int
+    corr_tap_negation: tuple = ()
     prev_corr_dim: int = 0
     use_norm: bool = True
     use_leaky: bool = True
@@ -211,7 +224,7 @@ class BilateralCorrelation(nn.Module):
         pc1_corr_indices: jax.Array,          # (Cc, H1)
         pc2_corr_uniq: jax.Array,             # (U, H1)
         pc2_corr_inverse: jax.Array,          # (F, Cc) -> u
-        pc1_corr_plan: ReducePlan | None = None,
+
         pc2_corr_uniq_inv: jax.Array | None = None,
     ) -> jax.Array:
         h1, num_input = feat1.shape
@@ -245,8 +258,8 @@ class BilateralCorrelation(nn.Module):
         k_self = corr_kernel[:, :self_dim, :].astype(dt)
         k_cross = corr_kernel[:, self_dim:, :].astype(dt)
 
-        a_self = corr_self(combined1, pc1_corr_indices, k_self,
-                           pc1_corr_plan) + corr_bias
+        a_self = corr_self(self.corr_tap_negation, combined1,
+                           pc1_corr_indices, k_self) + corr_bias
 
         # fold the static (f, c) -> u inverse map into the cross kernel:
         # k2[u, :, f] = sum_{c : inverse[f, c] == u} k_cross[c]

@@ -230,8 +230,11 @@ def test_gather_rows_and_corr_cross_grads():
     def ref_g(t):
         return t[sp.pc1_corr_indices + 1]
 
+    from hplflownet_tpu.ops.segment import make_reduce_plan
+    plan = make_reduce_plan(sp.pc1_corr_indices, cap)
+
     def ours_g(t):
-        return gather_rows(t, sp.pc1_corr_indices, sp.pc1_corr_plan)
+        return gather_rows(t, sp.pc1_corr_indices, plan)
 
     np.testing.assert_allclose(np.asarray(ours_g(tbl)),
                                np.asarray(ref_g(tbl)), atol=0)
@@ -291,7 +294,6 @@ def test_bilateral_correlation_matches_oracle():
         pc1_corr_indices=sp.pc1_corr_indices,
         pc2_corr_uniq=sp.pc2_corr_uniq,
         pc2_corr_inverse=sp.pc2_corr_inverse,
-        pc1_corr_plan=sp.pc1_corr_plan,
         pc2_corr_uniq_inv=sp.pc2_corr_uniq_inv,
     )
     params = mod.init(jax.random.PRNGKey(1), jnp.asarray(feat1),
