@@ -11,11 +11,11 @@ a *cross* term:
 
     y[f] = act(spread1 @ W_self + spread2[f] @ W_cross + b)
 
-so the self matmul happens once and the 15 displacement taps run as a scan,
-keeping peak memory at one (Cc, H1, C) gather while every step is an MXU
-matmul.  Both gather stages carry custom VJPs whose adjoints are sorted
-prefix-sum reductions over the builder's per-table ReducePlans — no XLA
-scatters anywhere (see ops/segment.py).
+so the self matmul happens once, and the 225 displaced patches collapse
+onto the unique combined offsets.  Both gather stages carry custom VJPs
+whose adjoints are gathers through inverse index tables (the stencils are
+closed under negation, and the vertex-id maps are injective) — no XLA
+scatters anywhere, and no value reordering in backward.
 """
 
 from __future__ import annotations

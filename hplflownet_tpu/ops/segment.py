@@ -46,24 +46,6 @@ class ReducePlan(NamedTuple):
     r0: jax.Array
 
 
-def _searchsorted(sorted_vals: jax.Array, queries: jax.Array,
-                  side: str) -> jax.Array:
-    """Branchless vectorized binary search (int32, static unrolled steps)."""
-    m = sorted_vals.shape[0]
-    pos = jnp.zeros(queries.shape, dtype=jnp.int32)
-    step = 1 << max(0, (m - 1).bit_length())
-    while step > 0:
-        cand = pos + step
-        v = sorted_vals[jnp.clip(cand - 1, 0, m - 1)]
-        if side == "left":
-            take = (cand <= m) & (v < queries)
-        else:
-            take = (cand <= m) & (v <= queries)
-        pos = jnp.where(take, cand, pos)
-        step >>= 1
-    return pos
-
-
 def _run_bounds(sorted_ids: jax.Array, num_targets: int):
     """[start, end) runs of each target id in a sorted id array.
 
