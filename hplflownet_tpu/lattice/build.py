@@ -540,23 +540,31 @@ def _build_from_elevated(
     overflow = jnp.maximum(num_unique - capacity, 0)
     total_real = jnp.sum(real.astype(jnp.int32))
 
-    # Dense ids occur consecutively in sorted order, so run starts are just
-    # the first-occurrence positions compacted in order — one sort, no
-    # binary search, no scatter.  The same sort's payload compacts the
-    # unique keys into the vertex table via static slices.
-    # (flag, position) share one int32 word so the sort moves 3 arrays
-    positions = jnp.arange(m, dtype=jnp.int32)
-    word = jnp.where(is_new, positions, positions + jnp.int32(1 << 28))
-    sword, comp_hi, comp_lo = jax.lax.sort((word, shi, slo), num_keys=1)
-    starts_sorted = sword & ((1 << 28) - 1)
-    pad_n = max(0, capacity + 1 - m)
-    if pad_n:
-        starts_sorted = jnp.concatenate(
-            [starts_sorted, jnp.full(pad_n, m, jnp.int32)])
-        comp_hi = jnp.concatenate(
-            [comp_hi, jnp.full(pad_n, _SENTINEL, jnp.int32)])
-        comp_lo = jnp.concatenate(
-            [comp_lo, jnp.full(pad_n, _SENTINEL, jnp.int32)])
+    # Dense ids occur consecutively in sorted order, so run starts are
+    # exact 2-level dense lower bounds of each rank over the non-decreasing
+    # rank array (level 1: block-first ranks; level 2: one fetched 128-row
+    # block — queries are sorted, so the row fetch is monotone), and the
+    # unique keys come from an in-row one-hot select at those positions.
+    # Replaces a 3-array m-entry compaction sort per build.
+    ranks = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    lane = 128
+    mp = -(-m // lane) * lane
+    rk, shi_p, slo_p = ranks, shi, slo
+    if mp != m:
+        rk = jnp.concatenate([rk, jnp.full(mp - m, 1 << 29, jnp.int32)])
+        shi_p = jnp.concatenate(
+            [shi_p, jnp.full(mp - m, _SENTINEL, jnp.int32)])
+        slo_p = jnp.concatenate(
+            [slo_p, jnp.full(mp - m, _SENTINEL, jnp.int32)])
+    nbk = mp // lane
+    q = jnp.arange(capacity + 1, dtype=jnp.int32)
+    r0b = rk[::lane]                                        # (nbk,)
+    b0 = jnp.sum((r0b[None, :] < q[:, None]).astype(jnp.int32), axis=1)
+    safe_b = jnp.maximum(b0 - 1, 0)
+    rows_rk = rk.reshape(nbk, lane)[safe_b]                 # (cap+1, 128)
+    inblock = jnp.sum((rows_rk < q[:, None]).astype(jnp.int32), axis=1)
+    starts_sorted = jnp.minimum(
+        jnp.where(b0 == 0, 0, (b0 - 1) * lane + inblock), m)
 
     ranks_idx = jnp.arange(capacity, dtype=jnp.int32)
     in_range = ranks_idx < num_unique
@@ -566,15 +574,22 @@ def _build_from_elevated(
     vertex_end = jnp.where(in_range, vertex_end, vertex_start)
     vertex_valid = vertex_start < vertex_end
 
-    vhi = jnp.where(vertex_valid, comp_hi[:capacity], _SENTINEL)
-    vlo = jnp.where(vertex_valid, comp_lo[:capacity], _SENTINEL)
+    safe_pos = jnp.minimum(starts_sorted[:capacity], m - 1)
+    row_hi = shi_p.reshape(nbk, lane)[safe_pos >> 7]        # (cap, 128)
+    row_lo = slo_p.reshape(nbk, lane)[safe_pos >> 7]
+    sel = (jnp.arange(lane, dtype=jnp.int32)[None, :]
+           == (safe_pos & (lane - 1))[:, None])
+    comp_hi = jnp.sum(jnp.where(sel, row_hi, 0), axis=1)
+    comp_lo = jnp.sum(jnp.where(sel, row_lo, 0), axis=1)
+
+    vhi = jnp.where(vertex_valid, comp_hi, _SENTINEL)
+    vlo = jnp.where(vertex_valid, comp_lo, _SENTINEL)
 
     # per-entry dense ids are just the rank cumsum, unsorted back to flat
     # order through the key sort's permutation (no probe needed).  NB: a
     # 2-level dense lower bound here is NOT faster — the queries are in
     # original (unsorted) order, so its in-block row fetch becomes a random
     # 128-row gather (~130 MB per build, measured far slower than the sort).
-    ranks = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     ids_sorted = jnp.where(real & (ranks < capacity), ranks, -1)
     _, ids_flat = jax.lax.sort((perm, ids_sorted), num_keys=1)
     lattice_offset = ids_flat.reshape(hi.shape)
