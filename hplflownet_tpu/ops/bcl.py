@@ -10,11 +10,13 @@ op here; see ops/segment.py):
   :class:`~hplflownet_tpu.ops.segment.ReducePlan`, with the reference's
   ``1/(density + 1e-5)`` normalization (bilateralNN.py:168-189).  Its adjoint
   is a gather (same rule as the reference's SparseSum.backward, :32-40).
-* blur: a scan over stencil taps, each step a gather + one MXU matmul.  Its
-  adjoint uses the stencil's closure under negation — for every offset ``o``
-  the stencil contains ``-o`` — so the transpose convolution is the same
-  gather pattern with permuted taps and transposed kernels (a custom VJP;
-  ``tap_negation`` from lattice/offsets.py).
+* blur: the fused Pallas stencil kernel (ops/pallas_stencil.py) for
+  layers whose table fits the VMEM budget, a tap-major gather + one MXU
+  contraction on XLA otherwise.  Its adjoint uses the stencil's closure
+  under negation — for every offset ``o`` the stencil contains ``-o`` — so
+  the transpose convolution is the same gather pattern with permuted taps
+  and transposed kernels (a custom VJP; ``tap_negation`` from
+  lattice/offsets.py).
 * slice: gather the d+1 enclosing vertices per point + barycentric
   contraction (:223-238); adjoint = unnormalized splat via the same plan.
 

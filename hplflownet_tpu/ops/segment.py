@@ -3,14 +3,17 @@
 XLA's TPU scatter emitter is pathological for duplicate-index scatter-adds
 (measured here: ~4 minutes compile and ~45 ms runtime for ONE
 32k->8k segment_sum) — and splat/slice adjoints are exactly such scatters.
-This module replaces every scatter in the framework with sorted prefix-sum
-reductions:
+This module replaces every scatter in the framework with sorted blocked
+run sums:
 
 * A :class:`ReducePlan` is built once per index table (inside the jitted
   lattice build): sort the flat target ids, remember the permutation, and
-  record each target's contiguous run [start, end) in sorted order.
-* ``apply_reduce_plan`` gathers values into sorted order, takes a cumulative
-  sum, and differences the run boundaries — gathers and a cumsum only.
+  record each target's contiguous run [start, end) in sorted order (plus
+  block-local run ranks, and block-first ranks for rank-mode plans).
+* ``apply_reduce_plan`` gathers values into sorted order and sums each
+  run exactly via a local-rank one-hot MXU matmul per 128-entry block,
+  combining head/tail partials with interior block totals — gathers and
+  matmuls only, no scatter and no cross-run error.
 * Its custom VJP is a pure gather: d(vals)[j] = g[ids[j]] (the same rule the
   reference implements in SparseSum.backward, bilateralNN.py:32-40).
 
