@@ -75,7 +75,7 @@ def test_native_corr_tables_match_jax():
 
     offs = neighborhood_offsets(1, 3)
     pc1c, pc2c = hb.corr_tables(u1, n1, u2, n2, offs, offs)
-    j1, j2u, j2inv, _ = _corr_tables(cl1, cl2, offs, offs, 3)
+    j1, j2u, j2inv, _, _ = _corr_tables(cl1, cl2, offs, offs, 3)
     j2 = np.asarray(j2u)[np.asarray(j2inv)]       # dense (F, Cc, H)
     np.testing.assert_array_equal(pc1c, np.asarray(j1))
     np.testing.assert_array_equal(pc2c, j2)
