@@ -23,6 +23,26 @@ def _stack(items):
     return batch
 
 
+def _pad_batch(batch, batch_size):
+    """Pad a partial batch to ``batch_size`` by repeating the last sample
+    with all-False valid masks — keeps jitted shapes static (one compile for
+    the whole eval epoch) while the masks keep metrics/loss exact.
+    ``num_real`` records how many leading samples are genuine."""
+    real = len(batch["path"])
+    pad = batch_size - real
+    out = {}
+    for k, v in batch.items():
+        if k == "path":
+            out[k] = list(v) + [v[-1]] * pad
+        elif k.startswith("valid"):
+            out[k] = np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+        else:
+            out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+    out["num_real"] = real
+    return out
+
+
 class BatchLoader:
     """Iterate a dataset in batches with background prefetch.
 
@@ -31,7 +51,7 @@ class BatchLoader:
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, seed=0,
-                 num_threads=4, prefetch=4, drop_last=None):
+                 num_threads=4, prefetch=4, drop_last=None, pad_last=False):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -39,6 +59,10 @@ class BatchLoader:
         self.num_threads = max(1, int(num_threads))
         self.prefetch = prefetch
         self.drop_last = shuffle if drop_last is None else drop_last
+        # pad (instead of emit ragged) the trailing partial batch: one jit
+        # compile per eval epoch rather than a second 1-6 min compile for
+        # the odd final shape (e.g. KITTI's 142 samples at batch 4)
+        self.pad_last = pad_last and not self.drop_last
         self._epoch = 0
 
     def __len__(self):
@@ -84,7 +108,10 @@ class BatchLoader:
                 except queue.Empty:
                     return
                 try:
-                    out_q.put((i, _stack([fetch(j) for j in b])))
+                    stacked = _stack([fetch(j) for j in b])
+                    if self.pad_last and len(b) < self.batch_size:
+                        stacked = _pad_batch(stacked, self.batch_size)
+                    out_q.put((i, stacked))
                 except Exception as e:  # surface loader errors to the consumer
                     out_q.put((i, e))
 

@@ -118,7 +118,14 @@ def blur_matmul(
     kernel: jax.Array,         # (F, C_in, C_out)
     bias: jax.Array,           # (C_out,)
 ) -> jax.Array:
-    """Stencil convolution over the lattice as F gather+matmul steps."""
+    """Stencil convolution over the lattice as F gather+matmul steps.
+
+    Overflow asymmetry: the Pallas forward degrades (tap, block) pairs
+    whose index span overflows the kernel window to absent, but the adjoint
+    (negated-tap stencil + recomputed spread for dW) includes them — the
+    gradient is exact only while ``ScalePair.stencil_overflow == 0``
+    (counted by the builder, surfaced by the driver).
+    """
     return _blur_fwd_impl(splatted_pad, neighbors, kernel, bias)
 
 

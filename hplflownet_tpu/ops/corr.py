@@ -79,6 +79,13 @@ def corr_self(tap_negation: tuple,    # static: index of -offset per tap
     via -c, so ``d_table[r] = sum_c dvals[c, indices[neg(c), r]]`` — a
     gather through the SAME index table with permuted rows, no plan
     reduction and no scatter.
+
+    Overflow asymmetry: the Pallas forward drops (tap, block) pairs whose
+    window span overflows (degrade-to-absent), while this adjoint includes
+    them — when ``ScalePair.stencil_overflow > 0`` the gradient is that of
+    the un-degraded op, not of the computed forward.  Zero on realistic
+    clouds; the driver warns when the counters are nonzero
+    (train/driver.py overflow check).
     """
     return _stencil(table_pad, indices, k_self)
 
@@ -135,6 +142,11 @@ def corr_cross(pad2: jax.Array,       # (H2+1, C)
     less HBM traffic — and the static (f, c) -> u map is pre-folded into
     ``k2`` (see BilateralCorrelation).  Vertex-major (H1, F, W) output: the
     fused stencil kernel emits it directly with no transpose.
+
+    Overflow asymmetry: like :func:`corr_self`/``blur_matmul``, the Pallas
+    forward degrades overflowing (tap, block) windows to absent while the
+    adjoint does not — gradients are exact only while
+    ``ScalePair.stencil_overflow == 0`` (monitored by the driver).
     """
     return _corr_cross_impl(pad2, uniq_idx, k2)
 
@@ -227,6 +239,13 @@ class BilateralCorrelation(nn.Module):
 
         pc2_corr_uniq_inv: jax.Array | None = None,
     ) -> jax.Array:
+        # the default () works in forward but breaks the corr_self adjoint
+        # (indices[()] degenerates to a (0, H1) table): demand the real
+        # negation permutation up front
+        assert len(self.corr_tap_negation) == self.corr_size, (
+            "corr_tap_negation must be the corr stencil's negation "
+            "permutation (lattice.offsets.tap_negation), one entry per tap",
+            len(self.corr_tap_negation), self.corr_size)
         h1, num_input = feat1.shape
         act = _activation(self.use_leaky)
         self_dim = num_input + self.prev_corr_dim

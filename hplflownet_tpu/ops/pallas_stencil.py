@@ -92,7 +92,7 @@ def _kernel(starts_ref,            # (F, nb) SMEM scalar prefetch
 
 
 def _pallas_impl(table, neighbors, kernel, starts, window, *,
-                 interpret=False):
+                 interpret=False, vmem_limit_bytes=None):
     f, hout = neighbors.shape
     h, c_in = table.shape
     c_out = kernel.shape[-1]
@@ -118,11 +118,16 @@ def _pallas_impl(table, neighbors, kernel, starts, window, *,
             pltpu.VMEM((_BLOCK, c_out), jnp.float32),
         ],
     )
+    kwargs = {}
+    if vmem_limit_bytes is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
     out = pl.pallas_call(
         functools.partial(_kernel, num_taps=f, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * _BLOCK, c_out), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(starts, neighbors, kernel, table)
     return out[:hout]
 
@@ -146,8 +151,15 @@ def window_starts(neighbors: jax.Array, h: int, window: int):
     valid = blk >= 0
     lo = jnp.min(jnp.where(valid, blk, h), axis=2)       # (f, nb)
     hi = jnp.max(jnp.where(valid, blk, -1), axis=2)
-    starts = jnp.clip(jnp.where(lo >= h, 0, lo) & ~(_ALIGN - 1),
-                      0, max(h - window, 0))
+    # the clip bound must itself be _ALIGN-aligned or the pl.multiple_of
+    # promise inside the kernel breaks: stencil_gather_matmul pads the table
+    # height so h - window is aligned; demand that here rather than aligning
+    # the bound down (which would make the table tail unreachable)
+    bound = max(h - window, 0)
+    assert bound % _ALIGN == 0, (
+        "table height must make h - window 16-aligned "
+        "(stencil_gather_matmul pads it)", h, window)
+    starts = jnp.clip(jnp.where(lo >= h, 0, lo) & ~(_ALIGN - 1), 0, bound)
     fits = jnp.all(hi - starts < window)
     return starts, fits
 
@@ -172,8 +184,12 @@ def stencil_overflow_count(neighbors: jax.Array, h: int,
     valid = blk >= 0
     lo = jnp.min(jnp.where(valid, blk, h), axis=2)
     hi = jnp.max(jnp.where(valid, blk, -1), axis=2)
+    # mirror the kernel's effective windows: stencil_gather_matmul pads the
+    # table height to _ALIGN (and to >= window), so the clip bound is
+    # h_eff - window, which is 16-aligned by construction
+    h_eff = max(-(-h // _ALIGN) * _ALIGN, window)
     starts = jnp.clip(jnp.where(lo >= h, 0, lo) & ~(_ALIGN - 1),
-                      0, max(h - window, 0))
+                      0, h_eff - window)
     return jnp.sum((hi - starts >= window).astype(jnp.int32))
 
 
@@ -181,7 +197,8 @@ def stencil_gather_matmul(table: jax.Array,       # (H, C_in), NO sentinel row
                           neighbors: jax.Array,   # (F, H_out) int32, -1 absent
                           kernel: jax.Array,      # (F, C_in, C_out)
                           window: int = 384,
-                          *, interpret: bool = False) -> jax.Array:
+                          *, interpret: bool = False,
+                          vmem_limit_bytes: int | None = None) -> jax.Array:
     """sum_f table[neighbors[f]] @ kernel[f] -> (H_out, C_out) f32.
 
     Absent (-1) taps contribute zero, and so does any tap whose block's
@@ -191,10 +208,16 @@ def stencil_gather_matmul(table: jax.Array,       # (H, C_in), NO sentinel row
     correlation stencil (measured span p100 261/428 at 128-entry blocks).
     """
     h, c_in = table.shape
-    if h < window:
+    assert window % _ALIGN == 0, window
+    # pad the height so h_pad - window is _ALIGN-aligned: dynamic window
+    # starts carry a pl.multiple_of(16) promise, and the clip bound must
+    # respect it WITHOUT cutting off the table tail (zero rows are inert —
+    # no real neighbor index points past h)
+    h_pad = max(-(-h // _ALIGN) * _ALIGN, window)
+    if h_pad != h:
         table = jnp.concatenate(
-            [table, jnp.zeros((window - h, c_in), table.dtype)], axis=0)
-    starts, _ = window_starts(neighbors, table.shape[0], window)
+            [table, jnp.zeros((h_pad - h, c_in), table.dtype)], axis=0)
+    starts, _ = window_starts(neighbors, h_pad, window)
 
     # Mosaic requires 128-aligned lane extents: zero-pad channels
     # (padded lanes contribute zero to the matmul)
@@ -206,4 +229,5 @@ def stencil_gather_matmul(table: jax.Array,       # (H, C_in), NO sentinel row
             [kernel, jnp.zeros((kernel.shape[0], cpad, kernel.shape[2]),
                                kernel.dtype)], axis=1)
     return _pallas_impl(table, neighbors, kernel, starts, window,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=vmem_limit_bytes)

@@ -46,6 +46,14 @@ class ReducePlan(NamedTuple):
     # (M/_BLOCK,) i32 global run rank of each block's first entry, for plans
     # whose target ids ARE the dense ranks (the builder's splat plans);
     # size-1 dummy otherwise.  Enables the gather-free rank-mode reduction.
+    #
+    # RANK-MODE CONTRACT: sentinel (invalid) entries sort past every real
+    # key but still inherit the last real rank (num_unique - 1) — they are
+    # folded into that rank's interior/tail sums, so every rank-mode caller
+    # MUST guarantee invalid entries carry exactly-zero values (the builder
+    # enforces this via barycentric masking: invalid points have zero
+    # barycentric weight).  Generic plans (r0 dummy) don't need this: their
+    # sentinel ids map to no [start, end) run at all.
     r0: jax.Array
 
 

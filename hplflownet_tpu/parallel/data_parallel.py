@@ -51,7 +51,7 @@ def make_dp_train_step(model, spec: LatticeSpec, mesh: Mesh,
 
     def train_step(state: TrainState, batch):
         def loss_fn(p):
-            loss, _ = _batched_loss(model, spec, p, batch)
+            loss, _, _overflow = _batched_loss(model, spec, p, batch)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

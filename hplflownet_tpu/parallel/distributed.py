@@ -29,6 +29,18 @@ from jax.sharding import Mesh
 __all__ = ["initialize", "global_mesh", "process_local_batch_slice"]
 
 
+def _distributed_client_active() -> bool:
+    """Whether jax.distributed.initialize has already run, WITHOUT touching
+    any backend (jax.process_count() would instantiate the local XLA client,
+    after which distributed init is illegal — jax requires it to be the
+    first jax call)."""
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client is not None
+    except Exception:  # pragma: no cover - private API moved
+        return False
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
@@ -36,22 +48,32 @@ def initialize(coordinator_address: str | None = None,
     other jax use).
 
     With no arguments, TPU pod environments auto-discover the coordinator
-    from the TPU metadata; explicit arguments support CPU/GPU clusters.
-    No-op when the runtime is already initialized or when running
-    single-process.
+    from the TPU metadata (the call degrades to a no-op single-process run
+    when no cluster environment is detected).  Explicit coordinator
+    arguments support CPU/GPU clusters — errors are NOT swallowed in that
+    case: a host that cannot join the job must fail loudly rather than
+    silently train a private single-process copy.
     """
-    if jax.process_count() > 1:
+    if _distributed_client_active():
         return  # already initialized
-    kwargs = {}
     if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes,
-                      process_id=process_id)
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process environment (no coordinator): run locally
-        pass
+        # explicit multi-process request: let failures propagate
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
+    # auto-discovery path: only attempt when a known cluster environment is
+    # present (TPU pod metadata / SLURM / user-exported coordinator); a
+    # plain single-host run must not pay a discovery timeout or error
+    import os
+    multi_worker_tpu = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    cluster_env = multi_worker_tpu or any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE"))
+    if not cluster_env:
+        return
+    jax.distributed.initialize()
 
 
 def global_mesh(data_axis: int | None = None,

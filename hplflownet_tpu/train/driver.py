@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 import os.path as osp
 import pickle
-import time
 
 import numpy as np
 import jax
@@ -21,6 +20,7 @@ from ..data import DATASETS, ProcessData, Augmentation, BatchLoader
 from ..models import MODELS
 from ..pipeline import make_lattice_spec
 from ..utils.logging import Logger, AverageMeter
+from ..utils.profiling import StepTimer
 from .checkpoint import CheckpointIO
 from .geometry2d import get_batch_2d_flow
 from .metrics import evaluate_2d, evaluate_3d
@@ -31,7 +31,12 @@ __all__ = ["run", "measure_capacities_from_loader", "build_everything"]
 
 
 def _device_batch(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items() if k != "path"}
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if k not in ("path", "num_real")}
+
+
+def _num_real(batch):
+    return batch.get("num_real", len(batch["path"]))
 
 
 def measure_capacities_from_loader(spec_rows, loader, num_batches=8,
@@ -80,7 +85,7 @@ def build_everything(args, logger):
     logger.log(f"val_dataset: {len(val_dataset)} samples")
     val_loader = BatchLoader(val_dataset, args.batch_size, shuffle=False,
                              num_threads=args.get_or("workers", 4),
-                             drop_last=False)
+                             drop_last=False, pad_last=True)
 
     train_loader = None
     if not args.evaluate:
@@ -169,12 +174,13 @@ def evaluate(args, model, spec, params, val_loader, logger,
                 f"ACC2D {meters['acc2d'].avg:.4f}")
 
         if dump_visu:
-            np.save(osp.join(save_dir, f"pc1_{i}.npy"), pc1)
-            np.save(osp.join(save_dir, f"sf_{i}.npy"), sf)
-            np.save(osp.join(save_dir, f"output_{i}.npy"), pred)
-            np.save(osp.join(save_dir, f"pc2_{i}.npy"), pc2)
+            nr = _num_real(batch)
+            np.save(osp.join(save_dir, f"pc1_{i}.npy"), pc1[:nr])
+            np.save(osp.join(save_dir, f"sf_{i}.npy"), sf[:nr])
+            np.save(osp.join(save_dir, f"output_{i}.npy"), pred[:nr])
+            np.save(osp.join(save_dir, f"pc2_{i}.npy"), pc2[:nr])
             epe3d_list.append(epe3d)
-            path_list.extend(batch["path"])
+            path_list.extend(batch["path"][:nr])
 
     if path_list:
         np.save(osp.join(save_dir, "epe3d_per_frame.npy"),
@@ -270,7 +276,7 @@ def run(args):
 
         # train epoch
         meter = AverageMeter()
-        t0 = time.time()
+        timer = StepTimer(warmup=2)  # skip the compile-bearing first steps
         # config `profile_dir`: capture a device trace of steps [2, 7) of
         # the first epoch for TensorBoard (the reference has no tracing at
         # all — SURVEY.md section 5)
@@ -282,10 +288,19 @@ def run(args):
                 elif i == 7:
                     jax.profiler.stop_trace()
                     logger.log(f"profile trace written to {profile_dir}")
-            state, loss = train_step(state, _device_batch(batch))
-            meter.update(float(loss), len(batch["path"]))
+            state, loss, overflow = train_step.with_overflow(
+                state, _device_batch(batch))
+            meter.update(float(loss), _num_real(batch))
+            timer.step(_num_real(batch))
+            if int(overflow):
+                # capacity/probe/stencil overflow: the forward silently
+                # dropped work and the Pallas adjoints no longer match the
+                # degraded forward — raise lattice_capacities
+                logger.log(f"WARNING: lattice overflow count {int(overflow)} "
+                           f"at step {i} (gradients inexact; raise "
+                           "lattice_capacities)")
             if i % args.get_or("print_freq", 50) == 0:
-                rate = meter.count / max(time.time() - t0, 1e-9)
+                rate = timer.rate
                 logger.log(f"Epoch: [{epoch + 1}][{i + 1}/"
                            f"{len(built['train_loader'])}]\t"
                            f"EPE3D Loss {meter.val:.4f} ({meter.avg:.4f})\t"
@@ -296,7 +311,7 @@ def run(args):
         vmeter = AverageMeter()
         for batch in built["val_loader"]:
             loss, _ = eval_step(state.params, _device_batch(batch))
-            vmeter.update(float(loss), len(batch["path"]))
+            vmeter.update(float(loss), _num_real(batch))
         logger.log(f" * Val EPE3D {vmeter.avg:.4f}")
 
         is_best = min_val is None or vmeter.avg < min_val

@@ -51,21 +51,35 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state._replace(opt_state=opt_state)
 
 
+def _scales_overflow(scales) -> jax.Array:
+    """Total dropped-work count across a pyramid: capacity + probe-window +
+    stencil-window overflow.  Nonzero means the forward silently degraded
+    (dropped vertices/taps) AND — for stencil overflow — that the Pallas
+    blur/corr adjoints no longer match the degraded forward (see
+    ops/bcl.blur_matmul); the driver warns on it."""
+    total = jnp.zeros((), jnp.int32)
+    for sp in scales:
+        total = (total + sp.pc1_overflow + sp.pc2_overflow
+                 + sp.probe_overflow + sp.stencil_overflow)
+    return total
+
+
 def _batched_loss(model, spec: LatticeSpec, params, batch,
                   adjoint_plans: bool = True):
     """batch: dict with pc1, pc2 (B, N, d), sf (B, N, d), valid1/2 (B, N)."""
     def single(pc1, pc2, valid1, valid2):
         scales = build_pyramid(spec, pc1, pc2, valid1, valid2,
                                adjoint_plans=adjoint_plans)
-        return model.apply(params, pc1, pc2, scales)
+        return (model.apply(params, pc1, pc2, scales),
+                _scales_overflow(scales))
 
     # lax.map, not vmap: batched sorts/gathers lower poorly on TPU (vmap
     # measured 2.5x slower per sample than the single-sample graph)
-    pred = jax.lax.map(lambda t: single(*t),
-                       (batch["pc1"], batch["pc2"],
-                        batch["valid1"], batch["valid2"]))
+    pred, overflow = jax.lax.map(lambda t: single(*t),
+                                 (batch["pc1"], batch["pc2"],
+                                  batch["valid1"], batch["valid2"]))
     loss = epe3d_loss(pred, batch["sf"], batch["valid1"])
-    return loss, pred
+    return loss, pred, jax.lax.stop_gradient(jnp.sum(overflow))
 
 
 def make_train_step(model, spec: LatticeSpec, learning_rate: float = 1e-4):
@@ -78,24 +92,40 @@ def make_train_step(model, spec: LatticeSpec, learning_rate: float = 1e-4):
 
     def train_step(state: TrainState, batch):
         def loss_fn(p):
-            loss, _ = _batched_loss(model, spec, p, batch)
-            return loss
+            loss, _, overflow = _batched_loss(model, spec, p, batch)
+            return loss, overflow
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, overflow), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss
+                          step=state.step + 1), loss, overflow
 
-    return init_state, jax.jit(train_step, donate_argnums=0)
+    jitted = jax.jit(train_step, donate_argnums=0)
+
+    def step2(state, batch):
+        """(state, loss) API used by bench/tests; overflow dropped."""
+        state, loss, _ = jitted(state, batch)
+        return state, loss
+
+    step2.with_overflow = jitted
+    return init_state, step2
 
 
 def make_eval_step(model, spec: LatticeSpec):
     """Jitted forward + per-batch loss (no update)."""
 
     def eval_step(params, batch):
-        loss, pred = _batched_loss(model, spec, params, batch,
-                                   adjoint_plans=False)
+        loss, pred, overflow = _batched_loss(model, spec, params, batch,
+                                             adjoint_plans=False)
+        return loss, pred, overflow
+
+    jitted = jax.jit(eval_step)
+
+    def step2(params, batch):
+        loss, pred, _ = jitted(params, batch)
         return loss, pred
 
-    return jax.jit(eval_step)
+    step2.with_overflow = jitted
+    return step2

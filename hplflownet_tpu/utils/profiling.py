@@ -1,24 +1,12 @@
-"""Profiling and step-time metering (SURVEY.md section 5: the reference has
-no tracing at all; this adds jax.profiler hooks + throughput meters)."""
+"""Step-time metering (SURVEY.md section 5: the reference has no
+profiling at all; device traces are captured by the driver's
+``profile_dir`` hook via jax.profiler directly)."""
 
 from __future__ import annotations
 
-import contextlib
 import time
 
-import jax
-
-__all__ = ["profile_trace", "StepTimer"]
-
-
-@contextlib.contextmanager
-def profile_trace(log_dir: str):
-    """Capture a TensorBoard-viewable device trace around a code block."""
-    jax.profiler.start_trace(log_dir)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
+__all__ = ["StepTimer"]
 
 
 class StepTimer:

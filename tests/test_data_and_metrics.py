@@ -83,6 +83,83 @@ def test_batch_loader_orders_and_drops():
     assert len(list(dl2)) == 2  # drop_last defaults true when shuffling
 
 
+def test_batch_loader_pads_trailing_batch():
+    """pad_last keeps every batch at batch_size (one jit shape per epoch —
+    VERDICT r2 #6): padded rows repeat the last sample with all-False valid
+    masks, num_real records the genuine count, and masked metrics over the
+    padded batch equal the unpadded ones."""
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return {"pc1": np.full((5, 3), i, np.float32),
+                    "valid1": np.ones((5,), bool), "path": f"p{i}"}
+
+    dl = BatchLoader(DS(), batch_size=4, shuffle=False, drop_last=False,
+                     pad_last=True)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert "num_real" not in batches[0]
+    last = batches[1]
+    assert last["pc1"].shape == (4, 5, 3)
+    assert last["num_real"] == 2
+    assert last["path"] == ["p4", "p5", "p5", "p5"]
+    np.testing.assert_array_equal(last["pc1"][2], last["pc1"][1])
+    assert last["valid1"][:2].all() and not last["valid1"][2:].any()
+
+    # masked metrics over the padded batch == metrics over the real rows
+    from hplflownet_tpu.train.metrics import evaluate_3d
+    rng = np.random.RandomState(0)
+    gt = rng.randn(4, 5, 3)
+    pred = gt + 0.05 * rng.randn(4, 5, 3)
+    padded = evaluate_3d(pred, gt, last["valid1"])
+    real = evaluate_3d(pred[:2], gt[:2], np.ones((2, 5), bool))
+    np.testing.assert_allclose(padded, real)
+
+
+def test_eval_compiles_once_with_padded_loader():
+    """The padded eval epoch hits the jit cache: exactly one lowered shape
+    even though the dataset size is not a batch multiple."""
+    import jax
+    import jax.numpy as jnp
+    from hplflownet_tpu.models import HPLFlowNetShallow
+    from hplflownet_tpu.pipeline import make_lattice_spec
+    from hplflownet_tpu.lattice import build_pyramid
+    from hplflownet_tpu.train.step import make_eval_step
+
+    sfm = [[1.0, 1, 1, 1], [0.5, 1, 1, 1], [0.25, 1, 1, 1],
+           [0.125, 1, 1, 1], [0.0625, 1, 1, 1]]
+    spec = make_lattice_spec(sfm, capacities=[128] * 5)
+    model = HPLFlowNetShallow(scales_filter_map=sfm)
+    rng = np.random.RandomState(0)
+    n = 24
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(i)
+            pc1 = r.randn(n, 3).astype(np.float32)
+            pc2 = pc1 + 0.05 * r.randn(n, 3).astype(np.float32)
+            return {"pc1": pc1, "pc2": pc2, "sf": pc2 - pc1,
+                    "valid1": np.ones((n,), bool),
+                    "valid2": np.ones((n,), bool), "path": f"p{i}"}
+
+    pc = jnp.asarray(DS()[0]["pc1"])
+    params = model.init(jax.random.PRNGKey(0), pc, pc,
+                        build_pyramid(spec, pc, pc))
+    eval_step = make_eval_step(model, spec)
+    dl = BatchLoader(DS(), batch_size=4, shuffle=False, drop_last=False,
+                     pad_last=True)
+    for batch in dl:
+        db = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in ("path", "num_real")}
+        eval_step(params, db)
+    assert eval_step.with_overflow._cache_size() == 1
+
+
 def test_metrics_reference_values():
     gt = np.zeros((1, 4, 3))
     gt[..., 0] = 1.0

@@ -11,13 +11,17 @@ download link)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from hplflownet_tpu.lattice import LatticeSpec, ScaleSpec, build_pyramid
-from hplflownet_tpu.models import HPLFlowNetShallow
+from hplflownet_tpu.models import HPLFlowNet, HPLFlowNetShallow
 from tests.oracle import ops_oracle as oracle
 
 SFM5 = [[1.0, 1, 1, 1], [0.5, 1, 1, 1], [0.25, 1, 1, 1],
         [0.125, 1, 1, 1], [0.0625, 1, 1, 1]]
+SFM7 = [[3.0, 1, -1, -1], [2.0, 1, -1, -1], [1.0, 1, 1, 1],
+        [0.5, 1, 1, 1], [0.25, 1, 1, 1], [0.125, 1, 1, 1],
+        [0.0625, 1, 1, 1]]
 
 
 def mlp_np(p, x, n_layers, last_act=True):
@@ -141,6 +145,134 @@ def test_full_shallow_forward_matches_numpy_oracle():
     model, scales, pc1, pc2, j1, j2 = _setup()
     params = model.init(jax.random.PRNGKey(0), j1, j2, scales)
     _assert_forward_matches_oracle(model, params, scales, pc1, pc2, j1, j2)
+
+
+def bcn_np_multi(p, blur_sp, out_sp, feats, cloud, do_splat, do_slice,
+                 n_widths, last_relu=False):
+    """Multi-width BCL (full model, widths like [64,64]/[1024,1024]):
+    stencil conv + pointwise convs with the reference's activation placement
+    (blur_conv stack, /root/reference/models/bilateralNN.py:94-113)."""
+    bary = np.asarray(getattr(blur_sp, f"{cloud}_barycentric"))
+    offs = np.asarray(getattr(blur_sp, f"{cloud}_lattice_offset"))
+    nb = np.asarray(getattr(blur_sp, f"{cloud}_blur_neighbors")).T  # (H, F)
+    cap = nb.shape[0]
+
+    if do_splat:
+        splatted = oracle.splat_np(feats, bary, offs, cap)
+    else:
+        splatted = np.concatenate(
+            [np.zeros((1, feats.shape[1])), feats], axis=0)
+
+    x = oracle.blur_np(splatted, nb, np.asarray(p["conv0_kernel"]),
+                       np.asarray(p["conv0_bias"]))
+    if n_widths > 1 or last_relu:
+        x = oracle.leaky(x)
+    for i in range(1, n_widths):
+        x = x @ np.asarray(p[f"conv{i}_kernel"]) + np.asarray(p[f"conv{i}_bias"])
+        if i < n_widths - 1 or last_relu:
+            x = oracle.leaky(x)
+    if not do_slice:
+        return x
+    sliced = oracle.slice_np(x, np.asarray(out_sp.pc1_barycentric),
+                             np.asarray(out_sp.pc1_lattice_offset))
+    return sliced + np.asarray(p["slice_bias"])
+
+
+def corr_np_full(p, sp, feat1, feat2, prev, prev_dim):
+    """Full-model CorrBCL: corr widths [32,32], blur widths [64,64]
+    (/root/reference/models/HPLFlowNet.py:92-232)."""
+    bary = np.asarray(sp.pc1_barycentric)
+    offs = np.asarray(sp.pc1_lattice_offset)
+    cap = np.asarray(sp.pc1_blur_neighbors).shape[1]
+    prev_pad = (oracle.splat_np(prev, bary, offs, cap)
+                if prev_dim else None)
+    return oracle.corr_np(
+        feat1, feat2, prev_pad,
+        np.asarray(sp.pc1_corr_indices).T,
+        np.asarray(sp.pc2_corr_indices_full()).transpose(0, 2, 1),
+        np.asarray(p["corr0_kernel"]), np.asarray(p["corr0_bias"]),
+        [(np.asarray(p["corr1_kernel"]), np.asarray(p["corr1_bias"]))],
+        np.asarray(p["blur0_kernel"]), np.asarray(p["blur0_bias"]),
+        [(np.asarray(p["blur1_kernel"]), np.asarray(p["blur1_bias"]))],
+    )
+
+
+def full_oracle_forward(p, scales, pc1, pc2):
+    """Numpy-oracle composition of the full 7-scale HPLFlowNet, transcribed
+    from the REFERENCE forward (/root/reference/models/HPLFlowNet.py:238-430)
+    — down path bcn1..7, corr1..5 at scales 3..7 chained coarse-ward, up
+    path bcn7_..bcn1_ with skip concats, head conv2/3/4."""
+    feat1 = mlp_np(p["conv1"], pc1, 3)
+    feat2 = mlp_np(p["conv1"], pc2, 3)
+
+    def el(i, cloud="pc1"):
+        return np.asarray(getattr(scales[i], f"{cloud}_el_minus_gr"))
+
+    def down(i, name, f1, f2):
+        o1 = bcn_np_multi(p[name], scales[i], scales[i],
+                          np.concatenate([el(i), f1], 1), "pc1",
+                          True, False, 2)
+        o2 = bcn_np_multi(p[name], scales[i], scales[i],
+                          np.concatenate([el(i, "pc2"), f2], 1), "pc2",
+                          True, False, 2)
+        return o1, o2
+
+    o1_1, o2_1 = down(0, "bcn1", feat1, feat2)
+    o1_2, o2_2 = down(1, "bcn2", o1_1, o2_1)
+    o1_3, o2_3 = down(2, "bcn3", o1_2, o2_2)
+    c1 = corr_np_full(p["corr1"], scales[2], o1_3, o2_3, None, 0)
+    o1_4, o2_4 = down(3, "bcn4", o1_3, o2_3)
+    c2 = corr_np_full(p["corr2"], scales[3], o1_4, o2_4, c1, 64)
+    o1_5, o2_5 = down(4, "bcn5", o1_4, o2_4)
+    c3 = corr_np_full(p["corr3"], scales[4], o1_5, o2_5, c2, 64)
+    o1_6, o2_6 = down(5, "bcn6", o1_5, o2_5)
+    c4 = corr_np_full(p["corr4"], scales[5], o1_6, o2_6, c3, 64)
+    o1_7, o2_7 = down(6, "bcn7", o1_6, o2_6)
+    c5 = corr_np_full(p["corr5"], scales[6], o1_7, o2_7, c4, 64)
+
+    def up(i, name, feats):
+        return bcn_np_multi(p[name], scales[i], scales[i], feats, "pc1",
+                            False, True, 2)
+
+    out = up(6, "bcn7_", np.concatenate([c5, o1_7], 1))
+    out = up(5, "bcn6_", np.concatenate([el(6), out, c4, o1_6], 1))
+    out = up(4, "bcn5_", np.concatenate([el(5), out, c3, o1_5], 1))
+    out = up(3, "bcn4_", np.concatenate([el(4), out, c2, o1_4], 1))
+    out = up(2, "bcn3_", np.concatenate([el(3), out, c1, o1_3], 1))
+    out = up(1, "bcn2_", np.concatenate([el(2), out, o1_2], 1))
+    out = up(0, "bcn1_", np.concatenate([el(1), out, o1_1], 1))
+
+    out = mlp_np(p["conv2"], out, 1)
+    out = mlp_np(p["conv3"], out, 1)
+    return mlp_np(p["conv4"], out, 1, last_act=False)
+
+
+@pytest.mark.slow
+def test_full_forward_matches_numpy_oracle():
+    """The 7-scale flagship model vs the reference-transcribed oracle: a
+    swapped decoder skip concat, wrong corr width, or misrouted scale would
+    fail here (VERDICT r2 weak #2)."""
+    rng = np.random.RandomState(11)
+    n = 64
+    pc1 = (rng.randn(n, 3) * 2.0).astype(np.float32)
+    pc2 = pc1 + 0.05 * rng.randn(n, 3).astype(np.float32)
+    caps = [320, 320, 320, 256, 192, 128, 128]
+    spec = LatticeSpec(d=3, scales=tuple(
+        ScaleSpec(s, b, f, c, capacity=cap)
+        for (s, b, f, c), cap in zip(SFM7, caps)))
+    model = HPLFlowNet(scales_filter_map=SFM7)
+    j1, j2 = jnp.asarray(pc1), jnp.asarray(pc2)
+    scales = build_pyramid(spec, j1, j2)
+    for sp in scales:
+        assert int(sp.pc1_overflow) == 0 and int(sp.pc2_overflow) == 0
+
+    params = model.init(jax.random.PRNGKey(0), j1, j2, scales)
+    got = np.asarray(model.apply(params, j1, j2, scales))
+    want = full_oracle_forward(params["params"], scales, pc1, pc2)
+    assert got.shape == want.shape == (n, 3)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 2e-2
 
 
 def test_ported_reference_weights_forward_matches_numpy_oracle():

@@ -244,6 +244,54 @@ def test_gather_rows_and_corr_cross_grads():
                                atol=2e-4)
 
 
+def test_corr_self_forward_and_grads():
+    """corr_self fwd + negation-permuted adjoint vs plain AD (round-2
+    advisor: the corr_self adjoint had no unit test, and the default
+    corr_tap_negation=() only crashed once a gradient was taken)."""
+    from hplflownet_tpu.ops.corr import corr_self
+
+    sp, rng = make_scale(seed=9, n=64, capacity=320)
+    cap = sp.pc1_blur_neighbors.shape[1]
+    c, w = 6, 5
+    pad1 = jnp.asarray(rng.randn(cap + 1, c).astype(np.float32))
+    pad1 = pad1.at[0].set(0.0)
+    k_self = jnp.asarray(rng.randn(15, c, w).astype(np.float32))
+    idx = sp.pc1_corr_indices                      # (Cc, H1)
+
+    def ref(p, k):
+        return jnp.einsum("khc,kcw->hw", p[idx + 1], k)
+
+    def ours(p, k):
+        return corr_self(NEG15, p, idx, k)
+
+    np.testing.assert_allclose(np.asarray(ours(pad1, k_self)),
+                               np.asarray(ref(pad1, k_self)), atol=1e-4)
+    g_ref = jax.grad(lambda p, k: jnp.sum(jnp.tanh(ref(p, k))),
+                     argnums=(0, 1))(pad1, k_self)
+    g_our = jax.grad(lambda p, k: jnp.sum(jnp.tanh(ours(p, k))),
+                     argnums=(0, 1))(pad1, k_self)
+    np.testing.assert_allclose(np.asarray(g_our[0])[1:],
+                               np.asarray(g_ref[0])[1:], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_our[1]), np.asarray(g_ref[1]),
+                               atol=1e-4)
+
+
+def test_corr_module_rejects_missing_tap_negation():
+    """The () default must fail fast at call time, not deep inside the
+    first backward pass."""
+    import pytest
+    sp, rng = make_scale(seed=3, n=48, capacity=256)
+    cap = sp.pc1_blur_neighbors.shape[1]
+    f1 = jnp.asarray(rng.randn(cap, 4).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(cap, 4).astype(np.float32))
+    mod = BilateralCorrelation(corr_widths=(5,), widths=(6,), corr_size=15,
+                               filter_size=15)  # corr_tap_negation left ()
+    with pytest.raises(AssertionError, match="corr_tap_negation"):
+        mod.init(jax.random.PRNGKey(0), f1, f2, None, None, None,
+                 sp.pc1_corr_indices, sp.pc2_corr_uniq,
+                 sp.pc2_corr_inverse, sp.pc2_corr_uniq_inv)
+
+
 def test_bilateral_conv_module_matches_oracle():
     sp, rng = make_scale(seed=4)
     n = sp.pc1_barycentric.shape[0]
@@ -286,6 +334,7 @@ def test_bilateral_correlation_matches_oracle():
 
     mod = BilateralCorrelation(corr_widths=(5, 4), widths=(7, 6),
                                corr_size=15, filter_size=15,
+                               corr_tap_negation=NEG15,
                                prev_corr_dim=prev_dim, last_relu=False)
     args = dict(
         prev_corr_feat=jnp.asarray(prev),

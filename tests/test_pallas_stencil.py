@@ -61,15 +61,18 @@ def test_stencil_kernel_wide_spans_degrade_to_zero_contribution():
     nb = np.ascontiguousarray(nb)
     window = 384
 
-    # replicate window_starts to get the expected per-tap drops
+    # replicate window_starts to get the expected per-tap drops; the kernel
+    # pads the table height to 16 alignment, so the clip bound is
+    # h_pad - window (see stencil_gather_matmul)
     nblk = -(-h // _BLOCK)
     pad = nblk * _BLOCK - h
+    h_pad = max(-(-h // _ALIGN) * _ALIGN, window)
     nbp = np.concatenate([nb, np.full((15, pad), -1, np.int32)], axis=1)
     blk = nbp.reshape(15, nblk, _BLOCK)
     valid = blk >= 0
-    lo = np.where(valid, blk, h).min(axis=2)
-    starts = np.clip(np.where(lo >= h, 0, lo) & ~(_ALIGN - 1),
-                     0, max(h - window, 0))
+    lo = np.where(valid, blk, h_pad).min(axis=2)
+    starts = np.clip(np.where(lo >= h_pad, 0, lo) & ~(_ALIGN - 1),
+                     0, max(h_pad - window, 0))
     in_win = valid & (blk - starts[:, :, None] < window)
     eff_nb = np.where(in_win, blk, -1).reshape(15, -1)[:, :h]
 

@@ -120,6 +120,75 @@ def test_lattice_sharding_partitions_compute():
     np.testing.assert_allclose(out_sharded, out_plain, atol=1e-4)
 
 
+def test_initialize_runs_before_any_backend_use():
+    """jax.distributed.initialize must be the FIRST jax runtime touch: the
+    guard in initialize() may not instantiate a backend (jax.process_count
+    would), and explicit coordinator args must reach jax.distributed.
+
+    Runs in a fresh subprocess so this test's own jax state can't mask the
+    ordering bug (round-2 advisor finding: the old process_count() guard
+    initialized the local backend, making distributed init impossible)."""
+    import subprocess
+    import sys
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import jax
+from jax._src import xla_bridge
+import hplflownet_tpu.parallel.distributed as dist
+
+seen = {}
+def fake_init(**kw):
+    seen["kw"] = kw
+    seen["backends_before"] = bool(xla_bridge._backends)
+jax.distributed.initialize = fake_init
+
+# 1. no coordinator + no cluster env: must not attempt distributed init
+dist.initialize()
+assert "kw" not in seen, "auto-discovery attempted outside a cluster env"
+
+# 2. explicit coordinator: must call through BEFORE any backend exists
+dist.initialize(coordinator_address="127.0.0.1:9999",
+                num_processes=2, process_id=0)
+assert seen["kw"]["num_processes"] == 2, seen
+assert seen["backends_before"] is False, (
+    "XLA backend was instantiated before jax.distributed.initialize")
+print("OK")
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
+
+
+def test_initialize_propagates_explicit_coordinator_errors():
+    """A host that cannot join an explicitly requested multi-process job
+    must fail loudly, not silently degrade to single-process (round-2
+    advisor: the old blanket except swallowed the RuntimeError)."""
+    import subprocess
+    import sys
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import jax
+import hplflownet_tpu.parallel.distributed as dist
+
+def fake_init(**kw):
+    raise RuntimeError("cannot reach coordinator")
+jax.distributed.initialize = fake_init
+
+try:
+    dist.initialize(coordinator_address="127.0.0.1:9999",
+                    num_processes=2, process_id=0)
+except RuntimeError:
+    print("RAISED")
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "RAISED" in out.stdout
+
+
 def test_distributed_helpers_single_process():
     """Multi-host helpers degrade cleanly to the single-process 8-CPU mesh."""
     from hplflownet_tpu.parallel import (
