@@ -4,10 +4,13 @@ This replaces the reference's host-side C hash table + Numba builder
 (/root/reference/transforms/transforms.py:133-261, models/khash.h) with a
 TPU-friendly pipeline that runs inside ``jax.jit``:
 
-1. Pack each (d+1)-int lattice key into a pair of int32 words (keys sum to
-   zero, so the last coordinate is dropped).  int32 pairs keep everything in
-   TPU-native 32-bit arithmetic — no int64 emulation.
-2. ``lax.sort`` the packed keys lexicographically (``num_keys=2``) and mark
+1. Pack each (d+1)-int lattice key into one int32 word (default — keys sum
+   to zero so the last coordinate is dropped, and 10-bit coordinate fields
+   cover the 35 m protocol; see coord_bits) or a pair of words for wider
+   scenes.  Packed int32 words keep everything in TPU-native 32-bit
+   arithmetic — no int64 emulation — and a single-word key makes every sort
+   one payload lighter and every probe compare ~3x cheaper.
+2. ``lax.sort`` the packed keys lexicographically and mark
    first-occurrences to assign dense vertex ids; scatter the unique keys into
    a static-``capacity`` sorted vertex table (sentinel-padded).
 3. All lookups (per-point vertex ids, blur-neighbor tables, correlation
@@ -49,12 +52,25 @@ __all__ = [
     "default_capacities",
 ]
 
-# 15 bits per packed coordinate: lattice keys are elevated coords rounded to
-# multiples of d+1; for metric scene-flow data (|x| <~ 100 m, scales <= 3)
-# they stay well inside +-16383.
-_COORD_BITS = 15
-_COORD_BIAS = 1 << (_COORD_BITS - 1)
+# Packed-key width.  Lattice keys are elevated coords rounded to multiples
+# of d+1; their magnitude is ~2.9 * scale * |x| (measured 302 at scale 3 on
+# 35 m-capped clouds — the reference's DEPTH_THRESHOLD protocol).  With the
+# default ``coord_bits=10`` all d stored coordinates of a d<=3 key pack into
+# ONE int32 word, which makes every builder sort one payload array lighter
+# and every probe compare ~3x cheaper than the two-word form.  Points whose
+# key coordinates fall outside the packable range are degraded to invalid
+# and counted in ``CloudLattice.overflow`` (same contract as capacity
+# overflow); scenes needing wider keys set ``LatticeSpec.coord_bits=15``
+# (two words, |coord| <= 16383).
+_DELTA_MARGIN = 16   # headroom for stencil deltas (|combined offset| <= 8)
 _SENTINEL = np.int32(np.iinfo(np.int32).max)
+
+
+def _num_words(d: int, bits: int) -> int:
+    """Words per packed key: 1 when all d stored coords fit 30 bits."""
+    if d not in (2, 3, 4):
+        raise NotImplementedError(f"key packing for d={d}")
+    return 1 if d * bits <= 30 else 2
 
 
 class ScaleSpec(NamedTuple):
@@ -70,6 +86,12 @@ class ScaleSpec(NamedTuple):
 class LatticeSpec(NamedTuple):
     d: int
     scales: tuple  # tuple[ScaleSpec, ...]
+    # bits per packed key coordinate: 10 (default) packs a whole d<=3 key
+    # into one int32 (|coord| <= 495 after delta margin — covers the 35 m
+    # protocol at scale 3 with 1.6x headroom); 15 uses two words
+    # (|coord| <= 16367) for wider scenes.  Out-of-range coords degrade to
+    # invalid and are counted in overflow.
+    coord_bits: int = 10
 
     @property
     def d1(self) -> int:
@@ -82,8 +104,8 @@ class CloudLattice(NamedTuple):
     lattice_offset: jax.Array   # (N, d1) int32, dense vertex id; -1 if absent
     barycentric: jax.Array      # (N, d1) float32, zero rows for invalid points
     el_minus_gr: jax.Array      # (N, d1) float32
-    vkeys_hi: jax.Array         # (H,) int32 sorted packed keys, sentinel-padded
-    vkeys_lo: jax.Array         # (H,) int32
+    vkeys: tuple                # 1-2 (H,) int32 sorted packed key words,
+                                # sentinel-padded (see _pack_keys)
     vertex_valid: jax.Array     # (H,) bool
     num_valid: jax.Array        # () int32: true vertex count (min(count, H))
     overflow: jax.Array         # () int32: unique keys dropped past capacity
@@ -141,66 +163,96 @@ class ScalePair(NamedTuple):
 # key packing
 # ---------------------------------------------------------------------------
 
-def _pack_keys(keys: jax.Array, d: int):
-    """(..., d1) int32 keys -> lexicographically ordered (hi, lo) int32 pair.
-
-    The last coordinate is redundant (keys sum to 0) and dropped.  Supports
-    d <= 4: one coordinate in ``hi`` (d <= 3) or two (d == 4), two in ``lo``.
-    """
-    if d == 3:
-        hi = keys[..., 0]
-        lo = ((keys[..., 1] + _COORD_BIAS) << _COORD_BITS) | (keys[..., 2] + _COORD_BIAS)
-    elif d == 2:
-        hi = keys[..., 0]
-        lo = keys[..., 1] + _COORD_BIAS
-    elif d == 4:
-        hi = ((keys[..., 0] + _COORD_BIAS) << _COORD_BITS) | (keys[..., 1] + _COORD_BIAS)
-        lo = ((keys[..., 2] + _COORD_BIAS) << _COORD_BITS) | (keys[..., 3] + _COORD_BIAS)
-    else:
-        raise NotImplementedError(f"key packing for d={d}")
-    return hi.astype(jnp.int32), lo.astype(jnp.int32)
-
-
-def _pack_deltas(offsets: np.ndarray, d: int):
-    """Pack stencil offsets so that packed-key + packed-delta == packed(key + offset)."""
-    offsets = offsets.astype(np.int64)
-    if d == 3:
-        hi = offsets[..., 0]
-        lo = (offsets[..., 1] << _COORD_BITS) + offsets[..., 2]
-    elif d == 2:
-        hi = offsets[..., 0]
-        lo = offsets[..., 1]
-    elif d == 4:
-        hi = (offsets[..., 0] << _COORD_BITS) + offsets[..., 1]
-        lo = (offsets[..., 2] << _COORD_BITS) + offsets[..., 3]
-    else:
-        raise NotImplementedError(f"delta packing for d={d}")
-    return (
-        jnp.asarray(hi.astype(np.int32)),
-        jnp.asarray(lo.astype(np.int32)),
-    )
-
-
-def _unpack_keys(hi: jax.Array, lo: jax.Array, d: int) -> jax.Array:
-    """Inverse of :func:`_pack_keys`; reconstructs the dropped last coordinate."""
-    mask = (1 << _COORD_BITS) - 1
-    if d == 3:
-        k0 = hi
-        k1 = (lo >> _COORD_BITS) - _COORD_BIAS
-        k2 = (lo & mask) - _COORD_BIAS
-        k3 = -(k0 + k1 + k2)
-        return jnp.stack([k0, k1, k2, k3], axis=-1)
+def _word_layout(d: int, bits: int):
+    """Tuple of per-word coordinate counts (front-loaded, lex-preserving)."""
+    if _num_words(d, bits) == 1:
+        return (d,)
     if d == 2:
-        k0 = hi
-        k1 = lo - _COORD_BIAS
-        return jnp.stack([k0, k1, -(k0 + k1)], axis=-1)
-    if d == 4:
-        k0 = (hi >> _COORD_BITS) - _COORD_BIAS
-        k1 = (hi & mask) - _COORD_BIAS
-        k2 = (lo >> _COORD_BITS) - _COORD_BIAS
-        k3 = (lo & mask) - _COORD_BIAS
-        return jnp.stack([k0, k1, k2, k3, -(k0 + k1 + k2 + k3)], axis=-1)
-    raise NotImplementedError(f"key unpacking for d={d}")
+        return (1, 1)
+    if d == 3:
+        return (1, 2)
+    return (2, 2)
+
+
+def _pack_fields(coords, bits: int, bias: int):
+    w = coords[0] + bias
+    for c in coords[1:]:
+        w = (w << bits) | (c + bias)
+    return w
+
+
+def _pack_keys(keys: jax.Array, d: int, bits: int):
+    """(..., d1) int32 keys -> tuple of lexicographically ordered int32 words.
+
+    The last coordinate is redundant (keys sum to 0) and dropped.  One word
+    when d*bits <= 30 (the d=3 default), two otherwise.
+    """
+    bias = 1 << (bits - 1)
+    layout = _word_layout(d, bits)
+    words = []
+    i = 0
+    for cnt in layout:
+        coords = [keys[..., i + j] for j in range(cnt)]
+        words.append(_pack_fields(coords, bits, bias).astype(jnp.int32))
+        i += cnt
+    return tuple(words)
+
+
+def _pack_deltas(offsets: np.ndarray, d: int, bits: int):
+    """Pack stencil offsets so word-wise integer addition equals packing the
+    offset key: packed(key) + packed_delta == packed(key + offset), provided
+    every field stays in range (guaranteed by the _DELTA_MARGIN guard)."""
+    offsets = offsets.astype(np.int64)
+    layout = _word_layout(d, bits)
+    words = []
+    i = 0
+    for cnt in layout:
+        w = offsets[..., i]
+        for j in range(1, cnt):
+            w = (w << bits) + offsets[..., i + j]
+        words.append(jnp.asarray(w.astype(np.int32)))
+        i += cnt
+    return tuple(words)
+
+
+def _unpack_keys(words, d: int, bits: int) -> jax.Array:
+    """Inverse of :func:`_pack_keys`; reconstructs the dropped last coord."""
+    bias = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    layout = _word_layout(d, bits)
+    coords = []
+    for w, cnt in zip(words, layout):
+        for j in range(cnt - 1, -1, -1):
+            coords.append(((w >> (bits * j)) & mask) - bias)
+    total = coords[0]
+    for c in coords[1:]:
+        total = total + c
+    coords.append(-total)
+    return jnp.stack(coords, axis=-1)
+
+
+# --- word-tuple helpers (probes/sorts are generic over 1- or 2-word keys) ---
+
+def _w_all_sentinel(words):
+    m = words[0] == _SENTINEL
+    for w in words[1:]:
+        m = m & (w == _SENTINEL)
+    return m
+
+
+def _w_where(cond, words, fill):
+    return tuple(jnp.where(cond, w, fill) for w in words)
+
+
+def _w_add(words, deltas):
+    return tuple(w + dv for w, dv in zip(words, deltas))
+
+
+def _w_eq(a, b):
+    m = a[0] == b[0]
+    for x, y in zip(a[1:], b[1:]):
+        m = m & (x == y)
+    return m
 
 
 # ---------------------------------------------------------------------------
@@ -237,31 +289,31 @@ _PROBE_BW_CORR = (128, 512)  # B=64/W=384 measured slower: 64-row
                              # blocks half-fill the 128-lane VPU tiles
 
 
-def _probe_with_overflow(vhi, vlo, qhi, qlo):
+def _probe_with_overflow(vw, qw):
     """Sort-join probe widened to the windowed probe's 3-output signature."""
-    idx, found = _probe(vhi, vlo, qhi, qlo)
-    return idx, found, jnp.zeros((qhi.shape[0],), jnp.int32)
+    idx, found = _probe(vw, qw)
+    return idx, found, jnp.zeros((qw[0].shape[0],), jnp.int32)
 
 
-def _probe_dispatch(vhi, vlo, qhi, qlo, rows_sorted=False,
-                    bw=_PROBE_BW_CORR):
+def _probe_dispatch(vw, qw, rows_sorted=False, bw=_PROBE_BW_CORR):
     """Route to the plain/windowed probe or the tap-sharded shard_map version.
 
+    ``vw``/``qw`` are packed-key word tuples (1 or 2 int32 arrays each).
     Returns ``(idx, found, overflow)`` with ``overflow`` a per-tap count of
     window-overflowed queries (always 0 on the sort path).
     """
     if rows_sorted:
-        def probe(vh, vl, qh, ql):
-            return _probe_rows_sorted(vh, vl, qh, ql, bw=bw)
+        def probe(v, q):
+            return _probe_rows_sorted(v, q, bw=bw)
     else:
         probe = _probe_with_overflow
     cfg = _PROBE_MESH.get()
-    if cfg is None or qhi.ndim != 2:
-        return probe(vhi, vlo, qhi, qlo)
+    if cfg is None or qw[0].ndim != 2:
+        return probe(vw, qw)
     mesh, axis = cfg
     n_shards = mesh.shape[axis]
     if n_shards == 1:
-        return probe(vhi, vlo, qhi, qlo)
+        return probe(vw, qw)
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map as _sm
@@ -274,24 +326,23 @@ def _probe_dispatch(vhi, vlo, qhi, qlo, rows_sorted=False,
             return _sme(f, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_rep=False)
 
-    f, h = qhi.shape
+    f, h = qw[0].shape
     pad = (-f) % n_shards
     if pad:
         # sentinel queries: sort last, match nothing real
         filler = jnp.full((pad, h), _SENTINEL, jnp.int32)
-        qhi = jnp.concatenate([qhi, filler])
-        qlo = jnp.concatenate([qlo, filler])
+        qw = tuple(jnp.concatenate([q, filler]) for q in qw)
 
+    nw = len(vw)
     fn = shard_map(
         probe, mesh,
-        (P(), P(), P(axis), P(axis)),
+        (tuple(P() for _ in range(nw)), tuple(P(axis) for _ in range(nw))),
         (P(axis), P(axis), P(axis)))
-    idx, found, overflow = fn(vhi, vlo, qhi, qlo)
+    idx, found, overflow = fn(vw, qw)
     return idx[:f], found[:f], overflow[:f]
 
 
-def _probe_counts(vhi: jax.Array, vlo: jax.Array,
-                  qhi: jax.Array, qlo: jax.Array):
+def _probe_counts(vw, qw):
     """Per query: ``(lt, found)`` — count of table keys strictly below the
     query, and whether the query key exists in the table.
 
@@ -300,21 +351,19 @@ def _probe_counts(vhi: jax.Array, vlo: jax.Array,
     a query ``q``: ``count(tag0 <= q)`` counts table keys ``<= q`` and
     ``count(tag2 <= q)`` counts table keys ``< q``; the key exists iff they
     differ (table keys are unique, so they differ by at most 1).  Everything
-    is one 3-array sort + two cumsums + one 2-array unsort: no
+    is one (words+1)-array sort + two cumsums + one 2-array unsort: no
     associative_scan, no random gathers (TPU sorts are ~100x cheaper than
     random gathers: 0.34 ms to sort 400k pairs vs 39 ms for a 15-step binary
-    search).  (tag, position) share one int32 word so the sort moves 3
-    arrays, not 4; (lt, found) share the unsort's single payload word.
+    search).  (tag, position) share one int32 word so a single-word key sort
+    moves 2 arrays; (lt, found) share the unsort's single payload word.
     """
-    shape = qhi.shape
-    qh = qhi.reshape(-1)
-    ql = qlo.reshape(-1)
-    n_t = vhi.shape[0]
-    n_q = qh.shape[0]
+    shape = qw[0].shape
+    qf = tuple(q.reshape(-1) for q in qw)
+    n_t = vw[0].shape[0]
+    n_q = qf[0].shape[0]
     assert max(n_t, n_q) < (1 << _TAG_SHIFT)
 
-    hi = jnp.concatenate([vhi, qh, vhi])
-    lo = jnp.concatenate([vlo, ql, vlo])
+    keys = tuple(jnp.concatenate([v, q, v]) for v, q in zip(vw, qf))
     tpos = jnp.arange(n_t, dtype=jnp.int32)
     qpos = jnp.arange(n_q, dtype=jnp.int32)
     word = jnp.concatenate([
@@ -322,7 +371,7 @@ def _probe_counts(vhi: jax.Array, vlo: jax.Array,
         qpos + jnp.int32(1 << _TAG_SHIFT),      # tag 1: queries
         tpos + jnp.int32(2 << _TAG_SHIFT),      # tag 2: table, after queries
     ])
-    _, _, sword = jax.lax.sort((hi, lo, word), num_keys=3)
+    sword = jax.lax.sort((*keys, word), num_keys=len(keys) + 1)[-1]
 
     le = jnp.cumsum((sword < (1 << _TAG_SHIFT)).astype(jnp.int32))
     lt = jnp.cumsum((sword >= (2 << _TAG_SHIFT)).astype(jnp.int32))
@@ -335,11 +384,11 @@ def _probe_counts(vhi: jax.Array, vlo: jax.Array,
     return res_q >> 1, (res_q & 1).astype(bool)
 
 
-def _probe(vhi: jax.Array, vlo: jax.Array, qhi: jax.Array, qlo: jax.Array):
+def _probe(vw, qw):
     """Find each query key in the sorted vertex table via the sort-merge
     join.  Returns ``(idx, found)``: dense vertex id (int32, arbitrary where
     not found) and a bool mask, shaped like the queries."""
-    lt, found = _probe_counts(vhi, vlo, qhi, qlo)
+    lt, found = _probe_counts(vw, qw)
     return lt, found
 
 
@@ -356,17 +405,21 @@ def _probe(vhi: jax.Array, vlo: jax.Array, qhi: jax.Array, qlo: jax.Array):
 # window (measured spans: p100 ~210 at B=128 on FT3D-like clouds, W=384).
 
 
-def _lex_le(ahi, alo, bhi, blo):
-    """(ahi, alo) <= (bhi, blo) lexicographically, elementwise."""
-    return (ahi < bhi) | ((ahi == bhi) & (alo <= blo))
+def _lex_le(aw, bw):
+    """word-tuple ``aw <= bw`` lexicographically, elementwise."""
+    if len(aw) == 1:
+        return aw[0] <= bw[0]
+    return (aw[0] < bw[0]) | ((aw[0] == bw[0]) & (aw[1] <= bw[1]))
 
 
-def _lex_lt(ahi, alo, bhi, blo):
-    """(ahi, alo) < (bhi, blo) lexicographically, elementwise."""
-    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+def _lex_lt(aw, bw):
+    """word-tuple ``aw < bw`` lexicographically, elementwise."""
+    if len(aw) == 1:
+        return aw[0] < bw[0]
+    return (aw[0] < bw[0]) | ((aw[0] == bw[0]) & (aw[1] < bw[1]))
 
 
-def _lower_bound_2level(vhi, vlo, qhi, qlo, with_found: bool = False):
+def _lower_bound_2level(vw, qw, with_found: bool = False):
     """Exact count of table keys strictly below each query, sort-free.
 
     Two dense compare levels instead of a sort-merge join (each boundary
@@ -381,38 +434,34 @@ def _lower_bound_2level(vhi, vlo, qhi, qlo, with_found: bool = False):
     block's first key).
     """
     lane = 128
-    n_t = vhi.shape[0]
+    n_t = vw[0].shape[0]
     pad = (-n_t) % lane
     if pad:
         filler = jnp.full((pad,), _SENTINEL, jnp.int32)
-        vhi = jnp.concatenate([vhi, filler])
-        vlo = jnp.concatenate([vlo, filler])
-    nbk = vhi.shape[0] // lane
-    bf_hi = vhi[::lane]                                    # (nbk,)
-    bf_lo = vlo[::lane]
-    shape = qhi.shape
-    qh = qhi.reshape(-1, 1)
-    ql = qlo.reshape(-1, 1)
-    b0 = jnp.sum(_lex_lt(bf_hi[None, :], bf_lo[None, :], qh, ql)
+        vw = tuple(jnp.concatenate([v, filler]) for v in vw)
+    nbk = vw[0].shape[0] // lane
+    bf = tuple(v[::lane] for v in vw)                      # (nbk,) each
+    shape = qw[0].shape
+    qc = tuple(q.reshape(-1, 1) for q in qw)
+    b0 = jnp.sum(_lex_lt(tuple(b[None, :] for b in bf), qc)
                  .astype(jnp.int32), axis=1)               # (nq,)
     safe_b = jnp.maximum(b0 - 1, 0)
-    row_hi = vhi.reshape(nbk, lane)[safe_b]                # (nq, 128)
-    row_lo = vlo.reshape(nbk, lane)[safe_b]
-    inblock = jnp.sum(_lex_lt(row_hi, row_lo, qh, ql).astype(jnp.int32),
-                      axis=1)
+    rows = tuple(v.reshape(nbk, lane)[safe_b] for v in vw)  # (nq, 128) each
+    inblock = jnp.sum(_lex_lt(rows, qc).astype(jnp.int32), axis=1)
     lt = jnp.where(b0 == 0, 0, (b0 - 1) * lane + inblock)
     lt = jnp.minimum(lt, n_t)
     if not with_found:
         return lt.reshape(shape)
-    eq_in = jnp.any((row_hi == qh) & (row_lo == ql), axis=1)
+    eq_in = jnp.any(_w_eq(rows, qc), axis=1)
     bd = jnp.minimum(b0, nbk - 1)
-    eq_bd = (bf_hi[bd] == qh[:, 0]) & (bf_lo[bd] == ql[:, 0])
+    eq_bd = _w_eq(tuple(b[bd] for b in bf),
+                  tuple(q[:, 0] for q in qc))
     found = (eq_in & (b0 > 0)) | eq_bd
     return lt.reshape(shape), found.reshape(shape)
 
 
-def _probe_rows_sorted(vhi, vlo, qhi, qlo, bw=_PROBE_BW_CORR):
-    """Windowed probe for row-sorted queries.
+def _probe_rows_sorted(vw, qw, bw=_PROBE_BW_CORR):
+    """Windowed probe for row-sorted queries (word-tuple keys).
 
     Returns ``(idx, found, overflow)``: like :func:`_probe` plus a per-tap
     count of real queries whose block's true span exceeded the static
@@ -422,24 +471,23 @@ def _probe_rows_sorted(vhi, vlo, qhi, qlo, bw=_PROBE_BW_CORR):
     at B=128 (see _PROBE_W) so overflow is zero in practice; callers surface
     the counter through ``ScalePair.probe_overflow``.
     """
-    f, h = qhi.shape
-    n_t = vhi.shape[0]
+    f, h = qw[0].shape
+    n_t = vw[0].shape[0]
     b, w = bw
     pad = (-h) % b
     if pad:
         filler = jnp.full((f, pad), _SENTINEL, jnp.int32)
-        qhi_p = jnp.concatenate([qhi, filler], axis=1)
-        qlo_p = jnp.concatenate([qlo, filler], axis=1)
+        qw_p = tuple(jnp.concatenate([q, filler], axis=1) for q in qw)
     else:
-        qhi_p, qlo_p = qhi, qlo
-    hp = qhi_p.shape[1]
+        qw_p = qw
+    hp = qw_p[0].shape[1]
     nb = hp // b
 
     # block-boundary lower bounds via the small join: (f, nb) queries
-    lt = _lower_bound_2level(vhi, vlo, qhi_p[:, ::b], qlo_p[:, ::b])
+    lt = _lower_bound_2level(vw, tuple(q[:, ::b] for q in qw_p))
     # windows start at a 128-aligned position so they can be fetched as
     # whole-row gathers of a (n/128, 128) view — XLA's fast row-gather path.
-    # (An elementwise vhi[pos] gather lowers to scalar loads, ~1.2 ms per
+    # (An elementwise v[pos] gather lowers to scalar loads, ~1.2 ms per
     # window set, and lax.gather with slice_sizes lowers to a sequential
     # while+dynamic-slice loop, ~5 ms.  Row gathers are contiguous copies.)
     lane = 128
@@ -451,38 +499,35 @@ def _probe_rows_sorted(vhi, vlo, qhi, qlo, bw=_PROBE_BW_CORR):
     # their results are discarded by the callers' vertex_valid masking, so
     # they must not flag overflow.  Clamping/aligning start only
     # strengthens the condition.
-    n_valid_t = jnp.sum(
-        (~((vhi == _SENTINEL) & (vlo == _SENTINEL))).astype(jnp.int32))
+    n_valid_t = jnp.sum((~_w_all_sentinel(vw)).astype(jnp.int32))
     bound = jnp.concatenate(
         [lt[:, 1:], jnp.full((f, 1), 0, jnp.int32) + n_valid_t], axis=1)
     bound = jnp.minimum(bound, n_valid_t)
     block_ok = bound + 1 - start <= w                             # (f, nb)
 
     tpad = n_t_pad - n_t
-    vhi_p, vlo_p = vhi, vlo
+    vw_p = vw
     if tpad:
         filler_t = jnp.full((tpad,), _SENTINEL, jnp.int32)
-        vhi_p = jnp.concatenate([vhi, filler_t])
-        vlo_p = jnp.concatenate([vlo, filler_t])
+        vw_p = tuple(jnp.concatenate([v, filler_t]) for v in vw)
     rows = (start[:, :, None] >> 7) + jnp.arange(w // lane, dtype=jnp.int32)
     rows = rows.reshape(-1)
-    whi = vhi_p.reshape(-1, lane)[rows].reshape(f, nb, 1, w)
-    wlo = vlo_p.reshape(-1, lane)[rows].reshape(f, nb, 1, w)
-    qh = qhi_p.reshape(f, nb, b, 1)
-    ql = qlo_p.reshape(f, nb, b, 1)
+    win = tuple(v.reshape(-1, lane)[rows].reshape(f, nb, 1, w) for v in vw_p)
+    qc = tuple(q.reshape(f, nb, b, 1) for q in qw_p)
     # one fused reduce: low 16 bits count "window key <= query", bit 16
     # counts exact matches (at most one — table keys are unique).  No
     # in-table masking needed: positions past the table read the sentinel
     # padding, which never compares <= a real (non-sentinel) query, and
-    # sentinel queries' results are discarded by the callers.
-    le_term = _lex_le(whi, wlo, qh, ql)
-    eq_term = (whi == qh) & (wlo == ql)
+    # sentinel queries' results are discarded by the callers.  Single-word
+    # keys make both terms one compare each.
+    le_term = _lex_le(win, qc)
+    eq_term = _w_eq(win, qc)
     enc = le_term.astype(jnp.int32) + (eq_term.astype(jnp.int32) << 16)
     cnt = jnp.sum(enc, axis=-1)                                   # (f, nb, b)
     idx = start[:, :, None] + (cnt & 0xFFFF) - 1
     found = (cnt >> 16 > 0) & block_ok[:, :, None]
 
-    real_q = ~((qh[..., 0] == _SENTINEL) & (ql[..., 0] == _SENTINEL))
+    real_q = ~_w_all_sentinel(tuple(q[..., 0] for q in qc))
     overflow = jnp.sum((real_q & ~block_ok[:, :, None]).astype(jnp.int32),
                        axis=(1, 2))                               # (f,)
     return (idx.reshape(f, hp)[:, :h],
@@ -500,10 +545,11 @@ def build_cloud_lattice(
     valid: jax.Array,        # (N,) bool
     scale: float,
     capacity: int,
+    bits: int = 10,
 ) -> CloudLattice:
     """Assign (metric) points to lattice vertices; see _build_from_elevated."""
     return _build_from_elevated(geom, geom.elevate(points, scale),
-                                valid, capacity)
+                                valid, capacity, bits)
 
 
 def _build_from_elevated(
@@ -511,6 +557,7 @@ def _build_from_elevated(
     elevated: jax.Array,     # (N, d1) float32
     valid: jax.Array,        # (N,) bool
     capacity: int,
+    bits: int = 10,
 ) -> CloudLattice:
     """Build the dense-id vertex table from elevated coordinates.
 
@@ -523,21 +570,34 @@ def _build_from_elevated(
     d = geom.d
     kb = geom.simplex_from_elevated(elevated)
 
-    hi, lo = _pack_keys(kb.keys, d)                        # (N, d1)
-    hi = jnp.where(valid[:, None], hi, _SENTINEL)
-    lo = jnp.where(valid[:, None], lo, _SENTINEL)
+    # range guard: coordinates that don't fit the packed fields (with the
+    # stencil-delta margin) degrade the point to invalid — counted like
+    # capacity overflow, never a wrapped/aliased key
+    bound = (1 << (bits - 1)) - 1 - _DELTA_MARGIN
+    in_range = jnp.all(jnp.abs(kb.keys) <= bound, axis=(-2, -1))   # (N,)
+    range_dropped = jnp.sum((valid & ~in_range).astype(jnp.int32))
+    valid = valid & in_range
 
-    m = hi.size
+    words = _pack_keys(kb.keys, d, bits)                   # (N, d1) each
+    words = _w_where(valid[:, None], words, _SENTINEL)
+
+    m = words[0].size
+    nw = len(words)
     iota = jnp.arange(m, dtype=jnp.int32)
-    shi, slo, perm = jax.lax.sort(
-        (hi.reshape(-1), lo.reshape(-1), iota), num_keys=2)
-    real = ~((shi == _SENTINEL) & (slo == _SENTINEL))
-    is_new = jnp.ones(shi.shape, dtype=bool)
-    is_new = is_new.at[1:].set((shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]))
+    sorted_all = jax.lax.sort(
+        (*(w.reshape(-1) for w in words), iota), num_keys=nw)
+    sw = sorted_all[:nw]
+    perm = sorted_all[nw]
+    real = ~_w_all_sentinel(sw)
+    is_new = jnp.ones(sw[0].shape, dtype=bool)
+    diff = sw[0][1:] != sw[0][:-1]
+    for w in sw[1:]:
+        diff = diff | (w[1:] != w[:-1])
+    is_new = is_new.at[1:].set(diff)
     is_new = is_new & real
 
     num_unique = jnp.sum(is_new.astype(jnp.int32))
-    overflow = jnp.maximum(num_unique - capacity, 0)
+    overflow = jnp.maximum(num_unique - capacity, 0) + range_dropped
     total_real = jnp.sum(real.astype(jnp.int32))
 
     # Dense ids occur consecutively in sorted order, so run starts are
@@ -549,13 +609,12 @@ def _build_from_elevated(
     ranks = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     lane = 128
     mp = -(-m // lane) * lane
-    rk, shi_p, slo_p = ranks, shi, slo
+    rk, sw_p = ranks, sw
     if mp != m:
         rk = jnp.concatenate([rk, jnp.full(mp - m, 1 << 29, jnp.int32)])
-        shi_p = jnp.concatenate(
-            [shi_p, jnp.full(mp - m, _SENTINEL, jnp.int32)])
-        slo_p = jnp.concatenate(
-            [slo_p, jnp.full(mp - m, _SENTINEL, jnp.int32)])
+        sw_p = tuple(
+            jnp.concatenate([w, jnp.full(mp - m, _SENTINEL, jnp.int32)])
+            for w in sw)
     nbk = mp // lane
     q = jnp.arange(capacity + 1, dtype=jnp.int32)
     r0b = rk[::lane]                                        # (nbk,)
@@ -567,23 +626,22 @@ def _build_from_elevated(
         jnp.where(b0 == 0, 0, (b0 - 1) * lane + inblock), m)
 
     ranks_idx = jnp.arange(capacity, dtype=jnp.int32)
-    in_range = ranks_idx < num_unique
-    vertex_start = jnp.where(in_range, starts_sorted[:capacity], total_real)
+    rank_live = ranks_idx < num_unique
+    vertex_start = jnp.where(rank_live, starts_sorted[:capacity], total_real)
     vertex_end = jnp.where(ranks_idx + 1 < num_unique,
                            starts_sorted[1:capacity + 1], total_real)
-    vertex_end = jnp.where(in_range, vertex_end, vertex_start)
+    vertex_end = jnp.where(rank_live, vertex_end, vertex_start)
     vertex_valid = vertex_start < vertex_end
 
     safe_pos = jnp.minimum(starts_sorted[:capacity], m - 1)
-    row_hi = shi_p.reshape(nbk, lane)[safe_pos >> 7]        # (cap, 128)
-    row_lo = slo_p.reshape(nbk, lane)[safe_pos >> 7]
     sel = (jnp.arange(lane, dtype=jnp.int32)[None, :]
            == (safe_pos & (lane - 1))[:, None])
-    comp_hi = jnp.sum(jnp.where(sel, row_hi, 0), axis=1)
-    comp_lo = jnp.sum(jnp.where(sel, row_lo, 0), axis=1)
-
-    vhi = jnp.where(vertex_valid, comp_hi, _SENTINEL)
-    vlo = jnp.where(vertex_valid, comp_lo, _SENTINEL)
+    vkeys = tuple(
+        jnp.where(vertex_valid,
+                  jnp.sum(jnp.where(
+                      sel, w.reshape(nbk, lane)[safe_pos >> 7], 0), axis=1),
+                  _SENTINEL)
+        for w in sw_p)
 
     # per-entry dense ids are just the rank cumsum, unsorted back to flat
     # order through the key sort's permutation (no probe needed).  NB: a
@@ -592,7 +650,7 @@ def _build_from_elevated(
     # 128-row gather (~130 MB per build, measured far slower than the sort).
     ids_sorted = jnp.where(real & (ranks < capacity), ranks, -1)
     _, ids_flat = jax.lax.sort((perm, ids_sorted), num_keys=1)
-    lattice_offset = ids_flat.reshape(hi.shape)
+    lattice_offset = ids_flat.reshape(words[0].shape)
 
     barycentric = jnp.where(valid[:, None], kb.barycentric, 0.0)
     el_minus_gr = jnp.where(valid[:, None], kb.el_minus_gr, 0.0)
@@ -601,8 +659,7 @@ def _build_from_elevated(
     # target ids equal dense ranks, so the block-first-rank array enables
     # the gather-free rank-mode reduction (ops/segment.py).  ranks[::128]
     # yields ceil(m/128) entries — exactly one per (possibly padded) block.
-    same_prev = jnp.concatenate(
-        [jnp.zeros((1,), bool), (shi[1:] == shi[:-1]) & (slo[1:] == slo[:-1])])
+    same_prev = jnp.concatenate([jnp.zeros((1,), bool), ~diff])
     splat_plan = ReducePlan(ids=lattice_offset.reshape(-1), perm=perm,
                             start=vertex_start, end=vertex_end,
                             lrank=local_ranks(same_prev),
@@ -612,8 +669,7 @@ def _build_from_elevated(
         lattice_offset=lattice_offset,
         barycentric=barycentric,
         el_minus_gr=el_minus_gr,
-        vkeys_hi=vhi,
-        vkeys_lo=vlo,
+        vkeys=vkeys,
         vertex_valid=vertex_valid,
         num_valid=jnp.minimum(num_unique, capacity).astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
@@ -621,22 +677,24 @@ def _build_from_elevated(
     )
 
 
-def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int):
+def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int,
+                    bits: int = 10):
     """((F, H) blur-neighbor ids, window-overflow count); -1 = absent."""
     # the stencil's first offset is the zero offset (identity tap: each valid
     # vertex maps to itself) — fill it directly and probe only the rest
     assert not offsets[0].any(), "stencil row 0 must be the zero offset"
-    dhi, dlo = _pack_deltas(offsets[1:], d)                # (F-1,)
+    deltas = _pack_deltas(offsets[1:], d, bits)            # (F-1,) each
     # sentinel-mask invalid vertices so each query row stays sorted (the
     # windowed probe relies on it; results there are discarded anyway)
     ok_v = cl.vertex_valid[None, :]
-    qhi = jnp.where(ok_v, dhi[:, None] + cl.vkeys_hi[None, :], _SENTINEL)
-    qlo = jnp.where(ok_v, dlo[:, None] + cl.vkeys_lo[None, :], _SENTINEL)
-    idx, found, oflow = _probe_dispatch(cl.vkeys_hi, cl.vkeys_lo, qhi, qlo,
-                                        rows_sorted=True,
+    qw = _w_where(ok_v,
+                  tuple(dv[:, None] + v[None, :]
+                        for dv, v in zip(deltas, cl.vkeys)),
+                  _SENTINEL)
+    idx, found, oflow = _probe_dispatch(cl.vkeys, qw, rows_sorted=True,
                                         bw=_PROBE_BW_BLUR)
     ok = found & cl.vertex_valid[None, :]
-    h = cl.vkeys_hi.shape[0]
+    h = cl.vkeys[0].shape[0]
     iota = jnp.arange(h, dtype=jnp.int32)
     self_row = jnp.where(cl.vertex_valid, iota, -1)[None, :]
     rest = jnp.where(ok, idx, -1).astype(jnp.int32)
@@ -646,7 +704,7 @@ def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int):
 def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
                  filter_offsets: np.ndarray, corr_offsets: np.ndarray, d: int,
                  pc1_corr: jax.Array | None = None,
-                 with_inverse: bool = False):
+                 with_inverse: bool = False, bits: int = 10):
     """Correlation index tables (reference semantics, transforms.py:223-241).
 
     pc1_corr[c, h]       = id of (key1[h] + corr_offsets[c]) in cloud-1 table
@@ -665,14 +723,16 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
     """
     probe_overflow = jnp.zeros((), jnp.int32)
     ok_v = cl1.vertex_valid[None, :]
+
+    def offset_queries(offsets_np, vkeys, ok):
+        deltas = _pack_deltas(offsets_np, d, bits)
+        return _w_where(ok, tuple(dv[:, None] + v[None, :]
+                                  for dv, v in zip(deltas, vkeys)),
+                        _SENTINEL)
+
     if pc1_corr is None:
-        chi, clo = _pack_deltas(corr_offsets, d)           # (Cc,)
-        center_hi = jnp.where(
-            ok_v, chi[:, None] + cl1.vkeys_hi[None, :], _SENTINEL)
-        center_lo = jnp.where(
-            ok_v, clo[:, None] + cl1.vkeys_lo[None, :], _SENTINEL)
-        idx1, found1, oflow1 = _probe_dispatch(cl1.vkeys_hi, cl1.vkeys_lo,
-                                               center_hi, center_lo,
+        cw = offset_queries(corr_offsets, cl1.vkeys, ok_v)
+        idx1, found1, oflow1 = _probe_dispatch(cl1.vkeys, cw,
                                                rows_sorted=True)
         probe_overflow = probe_overflow + jnp.sum(oflow1)
         ok1 = found1 & ok_v
@@ -685,12 +745,9 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
     combined = (filter_offsets[:, None, :].astype(np.int64)
                 + corr_offsets[None, :, :]).reshape(-1, corr_offsets.shape[1])
     uniq, inverse = np.unique(combined, axis=0, return_inverse=True)
-    uhi, ulo = _pack_deltas(uniq, d)                        # (U,)
 
-    qhi = jnp.where(ok_v, uhi[:, None] + cl1.vkeys_hi[None, :], _SENTINEL)
-    qlo = jnp.where(ok_v, ulo[:, None] + cl1.vkeys_lo[None, :], _SENTINEL)
-    idx2, found2, oflow2 = _probe_dispatch(cl2.vkeys_hi, cl2.vkeys_lo,
-                                           qhi, qlo, rows_sorted=True)
+    qw = offset_queries(uniq, cl1.vkeys, ok_v)
+    idx2, found2, oflow2 = _probe_dispatch(cl2.vkeys, qw, rows_sorted=True)
     probe_overflow = probe_overflow + jnp.sum(oflow2)
     ok2 = found2 & ok_v
     uniq_tab = jnp.where(ok2, idx2, -1).astype(jnp.int32)   # (U, H1)
@@ -700,14 +757,10 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
 
     uniq_inv = jnp.zeros((1, 1), dtype=jnp.int32)
     if with_inverse:
-        nhi, nlo = _pack_deltas(-uniq, d)                   # (U,)
         ok_v2 = cl2.vertex_valid[None, :]
-        rhi = jnp.where(ok_v2, nhi[:, None] + cl2.vkeys_hi[None, :],
-                        _SENTINEL)
-        rlo = jnp.where(ok_v2, nlo[:, None] + cl2.vkeys_lo[None, :],
-                        _SENTINEL)
-        idx3, found3, oflow3 = _probe_dispatch(cl1.vkeys_hi, cl1.vkeys_lo,
-                                               rhi, rlo, rows_sorted=True)
+        rw = offset_queries(-uniq, cl2.vkeys, ok_v2)
+        idx3, found3, oflow3 = _probe_dispatch(cl1.vkeys, rw,
+                                               rows_sorted=True)
         probe_overflow = probe_overflow + jnp.sum(oflow3)
         ok3 = found3 & ok_v2
         uniq_inv = jnp.where(ok3, idx3, -1).astype(jnp.int32)  # (U, H2)
@@ -715,7 +768,7 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
 
 
 def _next_elevated(geom: PermutohedralGeometry, cl: CloudLattice,
-                   scale: float, next_scale: float):
+                   scale: float, next_scale: float, bits: int = 10):
     """Next scale's elevated coordinates, directly from the vertex keys.
 
     Mathematically identical to the reference's un-elevate -> re-elevate
@@ -726,7 +779,7 @@ def _next_elevated(geom: PermutohedralGeometry, cl: CloudLattice,
     on rounding-tie boundaries, and a matmul roundtrip would let compiler
     fusion choices flip those ties.
     """
-    keys = _unpack_keys(cl.vkeys_hi, cl.vkeys_lo, geom.d)  # (H, d1)
+    keys = _unpack_keys(cl.vkeys, geom.d, bits)            # (H, d1)
     keys = jnp.where(cl.vertex_valid[:, None], keys, 0)
     ratio = jnp.float32(next_scale) / jnp.float32(scale)
     # optimization_barrier: without it XLA contracts this multiply into the
@@ -772,18 +825,19 @@ def build_pyramid(
     elev1 = geom.elevate(pc1, spec.scales[0].scale)
     elev2 = geom.elevate(pc2, spec.scales[0].scale)
 
+    bits = spec.coord_bits
     scales_out = []
     for i, ss in enumerate(spec.scales):
-        cl1 = _build_from_elevated(geom, elev1, valid1, ss.capacity)
-        cl2 = _build_from_elevated(geom, elev2, valid2, ss.capacity)
+        cl1 = _build_from_elevated(geom, elev1, valid1, ss.capacity, bits)
+        cl2 = _build_from_elevated(geom, elev2, valid2, ss.capacity, bits)
 
         from ..ops.pallas_stencil import stencil_overflow_count
         probe_oflow = jnp.zeros((), jnp.int32)
         stencil_oflow = jnp.zeros((), jnp.int32)
         if ss.blur_radius != -1:
             offs = neighborhood_offsets(ss.blur_radius, spec.d)
-            nb1, of1 = _neighbor_table(cl1, offs, spec.d)
-            nb2, of2 = _neighbor_table(cl2, offs, spec.d)
+            nb1, of1 = _neighbor_table(cl1, offs, spec.d, bits)
+            nb2, of2 = _neighbor_table(cl2, offs, spec.d, bits)
             probe_oflow = probe_oflow + of1 + of2
             stencil_oflow = (stencil_oflow
                              + stencil_overflow_count(nb1, ss.capacity, 384)
@@ -801,11 +855,11 @@ def build_pyramid(
                 # neighbors; skip Cc*H probes (default config has all radii 1)
                 corr1, corr2u, corr2inv, corr2u_inv, of_c = _corr_tables(
                     cl1, cl2, f_offs, c_offs, spec.d, pc1_corr=nb1,
-                    with_inverse=adjoint_plans)
+                    with_inverse=adjoint_plans, bits=bits)
             else:
                 corr1, corr2u, corr2inv, corr2u_inv, of_c = _corr_tables(
                     cl1, cl2, f_offs, c_offs, spec.d,
-                    with_inverse=adjoint_plans)
+                    with_inverse=adjoint_plans, bits=bits)
             probe_oflow = probe_oflow + of_c
             stencil_oflow = (stencil_oflow
                              + stencil_overflow_count(corr1, ss.capacity, 384)
@@ -842,8 +896,10 @@ def build_pyramid(
 
         if i + 1 < len(spec.scales):
             next_scale = spec.scales[i + 1].scale
-            elev1, valid1 = _next_elevated(geom, cl1, ss.scale, next_scale)
-            elev2, valid2 = _next_elevated(geom, cl2, ss.scale, next_scale)
+            elev1, valid1 = _next_elevated(geom, cl1, ss.scale, next_scale,
+                                           bits)
+            elev2, valid2 = _next_elevated(geom, cl2, ss.scale, next_scale,
+                                           bits)
 
     return scales_out
 

@@ -68,7 +68,11 @@ def _kernel(starts_ref,            # (F, nb) SMEM scalar prefetch
 
     def tap(f, _):
         # window starts are 16-aligned (window_starts) so the dynamic load
-        # satisfies Mosaic's sublane-tiling divisibility requirement
+        # satisfies Mosaic's sublane-tiling divisibility requirement.
+        # NB: no @pl.when skip of empty (tap, block) pairs here — predicating
+        # the tap body measured 3x slower (0.34 -> 1.04 ms on the narrow
+        # blur): the conditional blocks Mosaic's load pipelining, costing far
+        # more than the ~10% of skippable pairs.
         s0 = pl.multiple_of(starts_ref[f, i], _ALIGN)
         win = table_ref[pl.ds(s0, window), :]            # (W, C_in)
         # absent taps (nb == -1) give lidx < 0 which never matches the
@@ -137,8 +141,9 @@ def window_starts(neighbors: jax.Array, h: int, window: int):
 
     ``starts[f, i]`` is the smallest valid index in block ``i`` of tap ``f``
     aligned down to 16 (Mosaic sublane tiling) and clamped so the window
-    stays inside the table; ``fits`` is True iff every block's largest valid
-    index falls inside its window.
+    stays inside the table (0 for all-absent pairs — their one-hot rows are
+    all-zero anyway); ``fits`` is True iff every block's largest valid index
+    falls inside its window.
     """
     f, hout = neighbors.shape
     nb = -(-hout // _BLOCK)

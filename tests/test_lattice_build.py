@@ -24,13 +24,14 @@ def random_cloud(n, seed=0, scale=4.0):
     return (rng.randn(n, 3) * scale).astype(np.float32)
 
 
-def _vertex_keys(sp_hi, sp_lo, d=3):
-    return np.asarray(_unpack_keys(jnp.asarray(sp_hi), jnp.asarray(sp_lo), d))
+def _vertex_keys(vkeys, d=3, bits=10):
+    return np.asarray(_unpack_keys(tuple(jnp.asarray(w) for w in vkeys),
+                                   d, bits))
 
 
-def _perm_from_oracle(oracle_keys, our_vhi, our_vlo, valid):
+def _perm_from_oracle(oracle_keys, our_vkeys, valid):
     """perm[oracle_id] = our_id, matched through the integer keys."""
-    ours = _vertex_keys(our_vhi, our_vlo)
+    ours = _vertex_keys(our_vkeys)
     lut = {tuple(int(v) for v in ours[h]): h
            for h in range(len(valid)) if valid[h]}
     perm = np.array([lut[tuple(int(v) for v in k)] for k in oracle_keys],
@@ -58,7 +59,7 @@ def test_single_cloud_build_matches_oracle():
     valid = np.asarray(cl.vertex_valid)
     assert valid.sum() == h
 
-    perm = _perm_from_oracle(tables["pc1_keys"], cl.vkeys_hi, cl.vkeys_lo, valid)
+    perm = _perm_from_oracle(tables["pc1_keys"], cl.vkeys, valid)
     got_off = np.asarray(cl.lattice_offset)
     want_off = _map_ids(perm, tables["pc1_lattice_offset"])
     np.testing.assert_array_equal(got_off, want_off)
@@ -317,9 +318,9 @@ def test_windowed_probe_overflow_degrades_to_absent():
     qhi = np.zeros((2, q.size), np.int32)
     qlo = np.stack([q, q + 1]).astype(np.int32)
 
-    slow_idx, slow_found = jax.jit(B._probe)(vhi, vlo, qhi, qlo)
+    slow_idx, slow_found = jax.jit(B._probe)((vhi, vlo), (qhi, qlo))
     fast_idx, fast_found, oflow = jax.jit(B._probe_rows_sorted)(
-        vhi, vlo, qhi, qlo)
+        (vhi, vlo), (qhi, qlo))
     slow_idx, slow_found = np.asarray(slow_idx), np.asarray(slow_found)
     fast_idx, fast_found = np.asarray(fast_idx), np.asarray(fast_found)
 

@@ -41,7 +41,7 @@ def test_native_matches_jax_builder():
     np.testing.assert_array_equal(ids, np.asarray(cl.lattice_offset))
 
     # unique key sets agree
-    jk = np.asarray(_unpack_keys(cl.vkeys_hi, cl.vkeys_lo, 3))[:total]
+    jk = np.asarray(_unpack_keys(cl.vkeys, 3, 10))[:total]
     from hplflownet_tpu.native.bindings import pack_keys_i64
     np.testing.assert_array_equal(pack_keys_i64(jk, 3), unique[:total])
 

@@ -26,7 +26,12 @@ def repeated(fn, perturb_idx=0):
         def body(carry, _):
             a = list(args)
             x = a[perturb_idx]
-            a[perturb_idx] = x + carry.astype(x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                a[perturb_idx] = x + carry.astype(x.dtype)
+            else:
+                # int inputs: add a data-dependent (but always-zero) bump so
+                # XLA can't hoist the loop-invariant stage out of the scan
+                a[perturb_idx] = x + (carry > 1e30).astype(x.dtype)
             out = fn(*a)
             leaves = jax.tree_util.tree_leaves(out)
             new_carry = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves) * 1e-30

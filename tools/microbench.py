@@ -31,8 +31,12 @@ def repeated(fn, perturb_idx=0):
             x = a[perturb_idx]
             a[perturb_idx] = x + carry.astype(x.dtype)
             out = fn(*a)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            new_carry = leaf.reshape(-1)[0].astype(jnp.float32) * 1e-30
+            # consume EVERY output element: carrying only out[0,0] lets XLA
+            # dead-code-eliminate most of a pure matmul/gather under test
+            # (a 474 GFLOP matmul "measured" 0.028 ms that way)
+            leaves = jax.tree_util.tree_leaves(out)
+            new_carry = sum(jnp.sum(l.astype(jnp.float32))
+                            for l in leaves) * 1e-30
             return new_carry, None
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
         return c
@@ -110,15 +114,20 @@ def main():
         bench(name, lambda t, n: t[n.T + 1].reshape(h, -1).sum(axis=1),
               table, nb)
 
-    # ---- corr ops at scale 2 (the biggest corr)
+    # ---- corr ops at scale 2 (the biggest corr); k2 layout is (U, C, F, W)
+    from hplflownet_tpu.ops.corr import corr_self
     sp2 = scales[2]
     h2 = sp2.pc1_corr_indices.shape[-1]
     pad2 = jnp.asarray(rng.randn(h2 + 1, 64), dt)
     n_uniq = sp2.pc2_corr_uniq.shape[0]
-    k2 = jnp.asarray(rng.randn(15, n_uniq, 64, 32), dt)
-    bench(f"corr_cross_s2 ({n_uniq},13312,64 uniq)",
+    k2 = jnp.asarray(rng.randn(n_uniq, 64, 15, 32), dt)
+    bench(f"corr_cross_s2 ({n_uniq},{h2},64 uniq)",
           lambda p, u, k: corr_cross(p, u, k, None),
           pad2, sp2.pc2_corr_uniq, k2)
+    k_self = jnp.asarray(rng.randn(15, 64, 32), dt)
+    bench(f"corr_self_s2 (15,{h2},64->32)",
+          lambda p, i, k: corr_self(neg, p, i, k),
+          pad2, sp2.pc1_corr_indices, k_self)
     bench("corr_gather1_s2 (15,13312,64)",
           lambda p, i: gather_rows(p, i, None).sum(axis=0),
           pad2, sp2.pc1_corr_indices)
