@@ -1,7 +1,10 @@
 """Op-level device profile of the full forward (top self-time HLO ops).
 
 Captures a jax.profiler trace around a queue of forward launches and prints
-the per-op breakdown via tensorboard_plugin_profile's raw converter.
+the per-op breakdown parsed straight from the Chrome-trace export (the
+tensorboard_plugin_profile converter is broken by a protobuf version skew
+in this image, so we read the "XLA Ops" lane of trace.json.gz ourselves
+and normalise by the number of module executions seen in "XLA Modules").
 Usage: python tools/op_profile.py [--train]
 """
 
@@ -68,37 +71,42 @@ def main():
     jax.profiler.stop_trace()
     _log("trace captured")
 
-    files = glob.glob(logdir + "/**/*.xplane.pb", recursive=True)
+    files = glob.glob(logdir + "/**/*.trace.json.gz", recursive=True)
     if not files:
-        _log("no xplane captured (tracing unsupported through the tunnel?)")
+        _log("no trace.json.gz captured")
         return
-    xspace = max(files, key=lambda f: len(open(f, "rb").read()))
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data([xspace], "hlo_op_profile", {})
-    try:
-        payload = json.loads(data)
-    except Exception:
-        payload = json.loads(gzip.decompress(data))
-    # byProgram -> children tree; walk two levels and collect leaves
-    def walk(node, depth=0):
-        name = node.get("name", "?")
-        metrics = node.get("metrics", {})
-        self_t = metrics.get("selfTimePs", 0)
-        total_t = metrics.get("timePs", 0)
-        yield name, self_t, total_t
-        for ch in node.get("children", []):
-            yield from walk(ch, depth + 1)
-
-    rows = []
-    for name, self_t, _ in walk(payload):
-        if self_t:
-            rows.append((self_t, name))
-    rows.sort(reverse=True)
+    path = max(files, key=lambda f: len(open(f, "rb").read()))
+    with gzip.open(path) as f:
+        data = json.load(f)
+    events = data["traceEvents"]
+    lanes = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lanes[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    ops_lanes = {k for k, n in lanes.items() if n == "XLA Ops"}
+    mod_lanes = {k for k, n in lanes.items() if n == "XLA Modules"}
+    n_mods = sum(1 for e in events
+                 if e.get("ph") == "X"
+                 and (e["pid"], e.get("tid")) in mod_lanes)
+    mod_wall = sum(e["dur"] for e in events
+                   if e.get("ph") == "X"
+                   and (e["pid"], e.get("tid")) in mod_lanes)
+    n_mods = max(n_mods, 1)
+    seen = {}
+    for e in events:
+        if e.get("ph") == "X" and (e["pid"], e.get("tid")) in ops_lanes:
+            n = e["name"]
+            d, a = seen.get(n, (0.0, None))
+            seen[n] = (d + e["dur"], a or e.get("args", {}))
+    rows = sorted(((d, n, a) for n, (d, a) in seen.items()), reverse=True)
     tot = sum(r[0] for r in rows)
-    _log(f"total self time {tot/1e12*1000:.2f} ms over {len(rows)} ops")
-    for self_t, name in rows[:40]:
-        print(f"{self_t/1e12*1000/8:9.3f} ms/launch  {100*self_t/tot:5.1f}%  "
-              f"{name[:110]}")
+    _log(f"{n_mods} module executions, {mod_wall/n_mods/1000:.2f} ms wall "
+         f"each; op self time {tot/n_mods/1000:.2f} ms/launch "
+         f"over {len(rows)} distinct ops")
+    for dur, name, args in rows[:45]:
+        src = (args or {}).get("source_info", "") or ""
+        print(f"{dur/n_mods/1000:8.3f} ms  {100*dur/tot:5.1f}%  "
+              f"{name[:70]:70s} {src[:60]}")
 
 
 if __name__ == "__main__":
