@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .pallas_stencil import stencil_gather_matmul
-from .segment import ReducePlan, apply_reduce_plan
+from .segment import ReducePlan, weighted_reduce
 
 __all__ = ["splat", "blur_matmul", "slice_to_points", "BilateralConv",
            "LEAKY_RATE", "vertex_constraint"]
@@ -95,11 +95,8 @@ def splat(
     points carry zero barycentric weight, so they are inert).
     """
     num_input = features.shape[-1]
-    vals = (features[:, None, :] * barycentric[:, :, None]).reshape(-1, num_input)
-    if normalize:
-        # density shares the reduction pass as an extra channel
-        vals = jnp.concatenate([vals, barycentric.reshape(-1, 1)], axis=1)
-    out = apply_reduce_plan(plan, vals)                         # (H, C[+1])
+    # density shares the fused reduction pass as an extra channel
+    out = weighted_reduce(normalize, plan, features, barycentric)  # (H, C[+1])
     if normalize:
         out = out[:, :num_input] * (1.0 / (out[:, num_input] + NORM_EPS))[:, None]
     return jnp.concatenate(
@@ -263,9 +260,10 @@ def _slice_fwd(blurred, out_barycentric, out_lattice_offset, plan):
 def _slice_bwd(res, g):
     blurred, bary, offsets, plan = res
     c = blurred.shape[1]
-    # d_blurred[v] = sum over (n, r) with offset=v of bary[n,r] * g[n]
-    vals = (bary[:, :, None] * g[:, None, :]).reshape(-1, c)
-    d_blurred = apply_reduce_plan(plan, vals)
+    # d_blurred[v] = sum over (n, r) with offset=v of bary[n,r] * g[n]:
+    # the fused weighted reduction, no VJP needed inside a custom bwd
+    from .segment import _wr_forward
+    d_blurred = _wr_forward(False, plan, g, bary).astype(blurred.dtype)
     h = blurred.shape[0]
     d_bary = jnp.stack(
         [jnp.sum(g * blurred[jnp.clip(offsets[:, r], 0, h - 1)], axis=1)
@@ -319,8 +317,10 @@ class BilateralConv(nn.Module):
         dt = jnp.dtype(self.compute_dtype)
 
         if self.do_splat:
-            splatted_pad = splat(features, in_barycentric, splat_plan,
-                                 normalize=self.use_norm)
+            # cast BEFORE the splat: under bf16 compute the fused splat
+            # gathers then move half the bytes (accumulation stays f32)
+            splatted_pad = splat(features.astype(dt), in_barycentric,
+                                 splat_plan, normalize=self.use_norm)
         else:
             splatted_pad = jnp.concatenate(
                 [jnp.zeros((1, num_input), features.dtype), features], axis=0)

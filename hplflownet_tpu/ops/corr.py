@@ -256,8 +256,8 @@ class BilateralCorrelation(nn.Module):
         if self.prev_corr_dim:
             # splat the finer-scale correlation output onto this scale's
             # cloud-1 lattice (reference :119-168)
-            prev_pad = splat(prev_corr_feat, barycentric1, splat_plan1,
-                             normalize=self.use_norm)
+            prev_pad = splat(prev_corr_feat.astype(dt), barycentric1,
+                             splat_plan1, normalize=self.use_norm)
             combined1 = jnp.concatenate([prev_pad, pad1], axis=-1)
         else:
             combined1 = pad1

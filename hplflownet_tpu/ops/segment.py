@@ -23,13 +23,15 @@ real run and contribute nothing.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ReducePlan", "make_reduce_plan", "apply_reduce_plan"]
+__all__ = ["ReducePlan", "make_reduce_plan", "apply_reduce_plan",
+           "weighted_reduce"]
 
 _BIG = np.int32(np.iinfo(np.int32).max)
 
@@ -133,39 +135,51 @@ def apply_reduce_plan(plan: ReducePlan, vals: jax.Array) -> jax.Array:
 
 
 def _forward(plan: ReducePlan, vals: jax.Array) -> jax.Array:
+    """Gather into sorted order, then blocked run sums (see _reduce_sorted)."""
+    gathered = vals[plan.perm].astype(jnp.float32)              # (M, C)
+    return _reduce_sorted(plan, gathered).astype(vals.dtype)
+
+
+def _reduce_sorted(plan: ReducePlan, sorted_vals: jax.Array) -> jax.Array:
     """Exact blocked run sums via a local-rank one-hot MXU matmul.
+
+    ``sorted_vals`` is the (M, C) value stream already permuted into the
+    plan's sorted order.  Computation runs in ``sorted_vals.dtype`` (bf16
+    halves the bandwidth of every intermediate) with f32 accumulation: the
+    one-hot entries are exactly representable, so each partial is the exact
+    f32 sum of the (possibly bf16-rounded) run entries.  Output is f32.
 
     Per _BLOCK-sized block of the sorted stream, ``partial[b, k]`` sums
     exactly the block's entries whose local run rank is ``k`` (a one-hot
     matmul — no prefix differencing, so a run contained in one block gets
-    the exact f32 sum of just its own entries, like the reference's
+    the exact sum of just its own entries, like the reference's
     scatter-add; a flat-cumsum scheme's cross-run error would be amplified
     by the 1/(density+1e-5) normalization on sparsely-hit vertices).  Runs
     crossing blocks add their head/tail partials plus whole interior-block
     totals.  Everything is gathers and matmuls: no scatter, and no
     O(BLOCK^2) reduce-window cumsum (measured 0.94 ms per big splat).
     """
-    gathered = vals[plan.perm].astype(jnp.float32)              # (M, C)
-    m, c = gathered.shape
+    dt = sorted_vals.dtype
+    m, c = sorted_vals.shape
     pad = (-m) % _BLOCK
     lrank = plan.lrank
     if pad:
-        gathered = jnp.concatenate(
-            [gathered, jnp.zeros((pad, c), jnp.float32)], axis=0)
+        sorted_vals = jnp.concatenate(
+            [sorted_vals, jnp.zeros((pad, c), dt)], axis=0)
         lrank = jnp.concatenate([lrank, jnp.zeros((pad,), jnp.int32)])
-    mp = gathered.shape[0]
+    mp = sorted_vals.shape[0]
     nb = mp // _BLOCK
-    blocks = gathered.reshape(nb, _BLOCK, c)
+    blocks = sorted_vals.reshape(nb, _BLOCK, c)
     onehot = (lrank.reshape(nb, _BLOCK)[:, :, None]
-              == jnp.arange(_BLOCK, dtype=jnp.int32)).astype(jnp.float32)
-    # HIGHEST: bf16x6 products with an exactly-representable 1.0 one-hot
-    # keep each partial an (effectively) exact f32 sum of its run entries
-    partial = jnp.einsum("njk,njc->nkc", onehot, blocks,
-                         precision=jax.lax.Precision.HIGHEST)   # (nb, B, C)
+              == jnp.arange(_BLOCK, dtype=jnp.int32)).astype(dt)
+    # f32 inputs need HIGHEST (bf16x6 passes) for exact products; bf16
+    # inputs are exact at single-pass default precision
+    prec = (jax.lax.Precision.DEFAULT if dt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    partial = jax.lax.dot_general(
+        onehot, blocks, (((1,), (1,)), ((0,), (0,))),
+        precision=prec, preferred_element_type=jnp.float32)     # (nb, B, C)
     partial_flat = partial.reshape(mp, c)
-    totals = jnp.sum(blocks, axis=1)                            # (nb, C)
-    csum = jnp.concatenate(
-        [jnp.zeros((1, c), jnp.float32), jnp.cumsum(totals, axis=0)], axis=0)
     # rank-mode interior sums use the first-row column of each block
     csum0 = jnp.concatenate(
         [jnp.zeros((1, c), jnp.float32),
@@ -207,8 +221,13 @@ def _forward(plan: ReducePlan, vals: jax.Array) -> jax.Array:
         tail = (partial_flat[safe_hi * _BLOCK]
                 + csum0[safe_hi] - csum0[safe_lo + 1])
         out = head + jnp.where(multi[:, None], tail, 0.0)
-        return jnp.where(exists[:, None], out, 0.0).astype(vals.dtype)
+        return jnp.where(exists[:, None], out, 0.0)
 
+    # generic-plan interior sums need whole-block totals (sum over k of
+    # partial = block total, since each entry has exactly one local rank)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.float32),
+         jnp.cumsum(jnp.sum(partial, axis=1), axis=0)], axis=0)
     start, end = plan.start, plan.end
     empty = start >= end
     s = jnp.where(empty, 0, start)
@@ -220,7 +239,7 @@ def _forward(plan: ReducePlan, vals: jax.Array) -> jax.Array:
     # interior blocks (b0, b1) exclusive are wholly inside the run
     tail = partial_flat[b1 * _BLOCK + lrank[e1]] + csum[b1] - csum[b0 + 1]
     out = head + jnp.where(multi[:, None], tail, 0.0)
-    return jnp.where(empty[:, None], 0.0, out).astype(vals.dtype)
+    return jnp.where(empty[:, None], 0.0, out)
 
 
 def _fwd(plan, vals):
@@ -235,3 +254,76 @@ def _bwd(plan, g):
 
 
 apply_reduce_plan.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused weighted reduction (the splat/slice-adjoint access pattern)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def weighted_reduce(
+    with_weights: bool,
+    plan: ReducePlan,     # plan over M = N * R flat entries
+    rows: jax.Array,      # (N, C)
+    weights: jax.Array,   # (N, R) f32
+) -> jax.Array:
+    """Per-target sums of ``weights[n, r] * rows[n]`` — the splat pattern.
+
+    Returns (T, C) f32, or (T, C + 1) with the weight sums (densities) as
+    the last column when ``with_weights`` (the reference's density channel,
+    bilateralNN.py:168-189).  Unlike ``apply_reduce_plan`` on materialized
+    products, the (M, C) value stream is built directly in sorted order —
+    one gather fusion instead of a materialize + regather round trip — and
+    runs in ``rows.dtype`` (bf16 halves every intermediate's bandwidth).
+    The adjoint is R row-gathers of the cotangent (the same rule as the
+    reference's SparseSum.backward, bilateralNN.py:32-40), not a gather of
+    the M-expanded stream.
+    """
+    return _wr_forward(with_weights, plan, rows, weights)
+
+
+def _wr_forward(with_weights, plan, rows, weights):
+    r = weights.shape[1]
+    c = rows.shape[1]
+    dt = rows.dtype
+    pid = plan.perm // r
+    rid = plan.perm % r
+    # ONE row gather of (C + R)-wide rows: a separate 1-D gather of the
+    # scalar weights runs at element granularity on TPU (~1 ms at M=127k,
+    # measured) while widening the row gather by R lanes is ~free.  The
+    # weight column is then selected with a one-hot over the R lanes.
+    cat = jnp.concatenate([rows, weights.astype(dt)], axis=1)   # (N, C+R)
+    g = cat[pid]                                                # (M, C+R)
+    w = jnp.sum(g[:, c:] * (rid[:, None] == jnp.arange(r, dtype=jnp.int32))
+                .astype(dt), axis=1)
+    sv = g[:, :c] * w[:, None]
+    if with_weights:
+        sv = jnp.concatenate([sv, w[:, None]], axis=1)
+    return _reduce_sorted(plan, sv)
+
+
+def _wr_fwd(with_weights, plan, rows, weights):
+    return _wr_forward(with_weights, plan, rows, weights), (plan, rows, weights)
+
+
+def _wr_bwd(with_weights, res, g):
+    plan, rows, weights = res
+    n, c = rows.shape
+    r = weights.shape[1]
+    t = plan.start.shape[0]
+    ids = plan.ids.reshape(n, r)
+    d_rows = jnp.zeros((n, c), jnp.float32)
+    d_w = []
+    gf = g.astype(jnp.float32)
+    for k in range(r):
+        safe = jnp.clip(ids[:, k], 0, t - 1)
+        grow = jnp.where((ids[:, k] >= 0)[:, None], gf[safe], 0.0)  # (N, C[+1])
+        d_rows = d_rows + weights[:, k, None] * grow[:, :c]
+        dwk = jnp.sum(rows.astype(jnp.float32) * grow[:, :c], axis=1)
+        if with_weights:
+            dwk = dwk + grow[:, c]
+        d_w.append(dwk)
+    return None, d_rows.astype(rows.dtype), jnp.stack(d_w, axis=1)
+
+
+weighted_reduce.defvjp(_wr_fwd, _wr_bwd)
