@@ -119,15 +119,22 @@ class HPLFlowNet(nn.Module):
 
         Returns (N, 3) scene flow for pc1.
         """
+        # el_minus_gr is builder data (f32); cast once so the wide decoder
+        # concats stay in the compute dtype instead of promoting to f32
+        dt = jnp.dtype(self.compute_dtype)
+
+        def emg1(sp):
+            return sp.pc1_el_minus_gr.astype(dt)
+
         feat1 = self.conv1(pc1)
         feat2 = self.conv1(pc2)
 
         def down(bcn_mod, sp, f1, f2):
-            o1 = bcn_mod(_concat(sp.pc1_el_minus_gr, f1),
+            o1 = bcn_mod(_concat(emg1(sp), f1),
                          in_barycentric=sp.pc1_barycentric,
                          splat_plan=sp.pc1_splat_plan,
                          blur_neighbors=sp.pc1_blur_neighbors)
-            o2 = bcn_mod(_concat(sp.pc2_el_minus_gr, f2),
+            o2 = bcn_mod(_concat(sp.pc2_el_minus_gr.astype(dt), f2),
                          in_barycentric=sp.pc2_barycentric,
                          splat_plan=sp.pc2_splat_plan,
                          blur_neighbors=sp.pc2_blur_neighbors)

@@ -39,5 +39,8 @@ class PointMLP(nn.Module):
             x = jnp.dot(x.astype(dt), k.astype(dt),
                         preferred_element_type=jnp.float32) + b
             if i < len(self.widths) - 1 or self.last_act:
-                x = act(x)
+                # intermediate activations stored in the compute dtype; the
+                # final (possibly linear) output stays f32 — conv4 is the
+                # flow prediction head
+                x = act(x).astype(dt)
         return x

@@ -263,7 +263,8 @@ def _slice_bwd(res, g):
     # d_blurred[v] = sum over (n, r) with offset=v of bary[n,r] * g[n]:
     # the fused weighted reduction, no VJP needed inside a custom bwd
     from .segment import _wr_forward
-    d_blurred = _wr_forward(False, plan, g, bary).astype(blurred.dtype)
+    d_blurred = _wr_forward(False, plan, g.astype(blurred.dtype),
+                            bary).astype(blurred.dtype)
     h = blurred.shape[0]
     d_bary = jnp.stack(
         [jnp.sum(g * blurred[jnp.clip(offsets[:, r], 0, h - 1)], axis=1)
@@ -336,16 +337,22 @@ class BilateralConv(nn.Module):
                         kernel.astype(dt), bias)
         if len(self.widths) > 1 or self.last_relu:
             x = act(x)
+        # store activations in the compute dtype (identity for f32): under
+        # bf16 the convert fuses into the matmul epilogue and every
+        # downstream read — pointwise convs, slice gathers, inter-layer
+        # concats — moves half the bytes (the wide decoder's dominant cost)
+        x = x.astype(dt)
 
         for i, w in enumerate(self.widths[1:], start=1):
             k = self.param(f"conv{i}_kernel", _dense_init,
                            (x.shape[-1], w), jnp.float32)
             b = self.param(f"conv{i}_bias", nn.initializers.zeros,
                            (w,), jnp.float32)
-            x = jnp.dot(x.astype(dt), k.astype(dt),
+            x = jnp.dot(x, k.astype(dt),
                         preferred_element_type=jnp.float32) + b
             if i < len(self.widths) - 1 or self.last_relu:
                 x = act(x)
+            x = x.astype(dt)
 
         if not self.do_slice:
             return x
@@ -356,4 +363,4 @@ class BilateralConv(nn.Module):
             sb = self.param("slice_bias", nn.initializers.zeros,
                             (self.widths[-1],), jnp.float32)
             sliced = sliced + sb
-        return sliced
+        return sliced.astype(dt)

@@ -308,14 +308,17 @@ class BilateralCorrelation(nn.Module):
                        preferred_element_type=jnp.float32) + blur_bias
         if len(self.widths) > 1 or self.last_relu:
             x = act(x)
+        # activations stored in the compute dtype (see BilateralConv)
+        x = x.astype(dt)
 
         for i, w in enumerate(self.widths[1:], start=1):
             k = self.param(f"blur{i}_kernel", _dense_init,
                            (x.shape[-1], w), jnp.float32)
             b = self.param(f"blur{i}_bias", nn.initializers.zeros,
                            (w,), jnp.float32)
-            x = jnp.dot(x.astype(dt), k.astype(dt),
+            x = jnp.dot(x, k.astype(dt),
                         preferred_element_type=jnp.float32) + b
             if i < len(self.widths) - 1 or self.last_relu:
                 x = act(x)
+            x = x.astype(dt)
         return _constrain_vertices(x)
