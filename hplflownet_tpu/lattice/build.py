@@ -865,6 +865,12 @@ def build_pyramid(
                              + stencil_overflow_count(corr1, ss.capacity, 384)
                              + stencil_overflow_count(corr2u, ss.capacity,
                                                       512))
+            if adjoint_plans:
+                # the corr_cross adjoint runs the inverse table through the
+                # same windowed kernel (ops/corr._corr_cross_bwd); count its
+                # spans so gradient degradation is monitored identically
+                stencil_oflow = stencil_oflow + stencil_overflow_count(
+                    corr2u_inv, ss.capacity, 512)
         else:
             corr1 = jnp.zeros((1, 1), dtype=jnp.int32)
             corr2u = jnp.zeros((1, 1), dtype=jnp.int32)

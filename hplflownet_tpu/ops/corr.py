@@ -97,20 +97,18 @@ def _corr_self_fwd(tap_negation, table_pad, indices, k_self):
 def _corr_self_bwd(tap_negation, res, g):                    # g: (H1, W)
     table_pad, indices, k_self = res
     c = table_pad.shape[1]
-    cc, h1 = indices.shape
     gc = g.astype(table_pad.dtype)
     neg = jnp.asarray(tap_negation, dtype=jnp.int32)
 
-    dvals = jnp.einsum("hw,kcw->khc", gc, k_self,
-                       preferred_element_type=jnp.float32)    # (Cc, H1, C)
-    dv = dvals.astype(table_pad.dtype).reshape(cc * h1, c)
-    inv_idx = indices[neg]                                    # (Cc, H1)
-    flat_idx = (jnp.arange(cc, dtype=jnp.int32)[:, None] * h1
-                + jnp.maximum(inv_idx, 0))
-    contrib = dv[flat_idx.reshape(-1)].reshape(cc, h1, c)
-    mask = (inv_idx >= 0)[:, :, None]
-    d_rows = jnp.sum(jnp.where(mask, contrib, 0).astype(jnp.float32),
-                     axis=0)                                  # (H1, C)
+    # d_table[r] = sum_k g[indices[neg(k), r]] @ k_self[k]^T — the identical
+    # stencil pattern as the forward with the cotangent as the table and
+    # negation-permuted index rows, so it runs through the fused Pallas
+    # kernel.  (The previous einsum-to-(Cc, H1, C)-then-random-row-gather
+    # form measured ~5 ms per train step at the finest corr scale.)
+    g_pad = jnp.concatenate(
+        [jnp.zeros((1, gc.shape[1]), gc.dtype), gc], axis=0)
+    k_t = jnp.transpose(k_self, (0, 2, 1)).astype(gc.dtype)   # (Cc, W, C)
+    d_rows = _stencil(g_pad, indices[neg], k_t)               # (H1, C) f32
     d_table = jnp.concatenate(
         [jnp.zeros((1, c), d_rows.dtype), d_rows], axis=0)
     # d_k_self: recompute the spread (bwd only, XLA gather)
@@ -167,27 +165,22 @@ def _corr_cross_bwd(res, g):                                 # g: (H1, F, W)
     pad2, uniq_idx, k2, uniq_inv = res
     c = pad2.shape[1]
     u, h1 = uniq_idx.shape
-    h2 = uniq_inv.shape[1]
+    f, w = k2.shape[2], k2.shape[3]
     gc = g.astype(pad2.dtype)
 
     # The vertex-id maps are injective, so the adjoint of the uniq_idx
-    # gather is itself a gather through the negated-offset table:
-    #   d_pad2[r] = sum_u dvals[u, uniq_inv[u, r]]
-    # One batched row-gather replaces the previous per-offset scan of plan
-    # reductions (measured 28 ms of while loops + 11 ms of sliced gathers
-    # per train step at the biggest scale).
-    # bf16 gather + clamp/mask (no sentinel pad row): halves the 200 MB of
-    # gather traffic and avoids materializing a padded copy; the f32
-    # accumulation happens in the masked sum
-    dvals = jnp.einsum("hfw,ucfw->uhc", gc, k2,
-                       preferred_element_type=jnp.float32)   # (U, H1, C)
-    dv = dvals.astype(pad2.dtype).reshape(u * h1, c)
-    flat_idx = (jnp.arange(u, dtype=jnp.int32)[:, None] * h1
-                + jnp.maximum(uniq_inv, 0))                  # (U, H2)
-    contrib = dv[flat_idx.reshape(-1)].reshape(u, h2, c)
-    mask = (uniq_inv >= 0)[:, :, None]
-    d_rows = jnp.sum(jnp.where(mask, contrib, 0).astype(jnp.float32),
-                     axis=0)                                 # (H2, C)
+    # gather reads through the inverse table:
+    #   d_pad2[r] = sum_u g[uniq_inv[u, r]] @ k2[u]^T   (over the (f, w) axes)
+    # — again exactly the stencil pattern (table = cotangent flattened to
+    # (H1, F*W), one "tap" per unique offset), so the fused Pallas kernel
+    # applies.  The previous form materialized a (U, H1, C) einsum and
+    # random-row-gathered it at 64-ch granularity — 5.4 ms per train step
+    # at the finest scale; this one runs it as one-hot window matmuls.
+    fw = f * w
+    g_pad = jnp.concatenate(
+        [jnp.zeros((1, fw), gc.dtype), gc.reshape(h1, fw)], axis=0)
+    k_t = jnp.transpose(k2.reshape(u, c, fw), (0, 2, 1)).astype(gc.dtype)
+    d_rows = _stencil(g_pad, uniq_inv, k_t, window=512)      # (H2, C) f32
     d_pad2 = jnp.concatenate([jnp.zeros((1, c), jnp.float32), d_rows],
                              axis=0).astype(pad2.dtype)
 

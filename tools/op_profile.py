@@ -75,7 +75,8 @@ def main():
     if not files:
         _log("no trace.json.gz captured")
         return
-    path = max(files, key=lambda f: len(open(f, "rb").read()))
+    import os
+    path = max(files, key=os.path.getmtime)   # newest capture, not largest
     with gzip.open(path) as f:
         data = json.load(f)
     events = data["traceEvents"]
