@@ -831,7 +831,9 @@ def build_pyramid(
         cl1 = _build_from_elevated(geom, elev1, valid1, ss.capacity, bits)
         cl2 = _build_from_elevated(geom, elev2, valid2, ss.capacity, bits)
 
-        from ..ops.pallas_stencil import stencil_overflow_count
+        from ..ops.pallas_stencil import (BLUR_WINDOW, CORR_INV_BLOCK,
+                                          CORR_INV_WINDOW, CORR_WINDOW,
+                                          stencil_overflow_count)
         probe_oflow = jnp.zeros((), jnp.int32)
         stencil_oflow = jnp.zeros((), jnp.int32)
         if ss.blur_radius != -1:
@@ -840,8 +842,10 @@ def build_pyramid(
             nb2, of2 = _neighbor_table(cl2, offs, spec.d, bits)
             probe_oflow = probe_oflow + of1 + of2
             stencil_oflow = (stencil_oflow
-                             + stencil_overflow_count(nb1, ss.capacity, 384)
-                             + stencil_overflow_count(nb2, ss.capacity, 384))
+                             + stencil_overflow_count(nb1, ss.capacity,
+                                                      BLUR_WINDOW)
+                             + stencil_overflow_count(nb2, ss.capacity,
+                                                      BLUR_WINDOW))
         else:
             nb1 = jnp.zeros((1, 1), dtype=jnp.int32)
             nb2 = jnp.zeros((1, 1), dtype=jnp.int32)
@@ -862,15 +866,17 @@ def build_pyramid(
                     with_inverse=adjoint_plans, bits=bits)
             probe_oflow = probe_oflow + of_c
             stencil_oflow = (stencil_oflow
-                             + stencil_overflow_count(corr1, ss.capacity, 384)
+                             + stencil_overflow_count(corr1, ss.capacity,
+                                                      BLUR_WINDOW)
                              + stencil_overflow_count(corr2u, ss.capacity,
-                                                      512))
+                                                      CORR_WINDOW))
             if adjoint_plans:
                 # the corr_cross adjoint runs the inverse table through the
                 # same windowed kernel (ops/corr._corr_cross_bwd); count its
                 # spans so gradient degradation is monitored identically
                 stencil_oflow = stencil_oflow + stencil_overflow_count(
-                    corr2u_inv, ss.capacity, 512)
+                    corr2u_inv, ss.capacity, CORR_INV_WINDOW,
+                    block=CORR_INV_BLOCK)
         else:
             corr1 = jnp.zeros((1, 1), dtype=jnp.int32)
             corr2u = jnp.zeros((1, 1), dtype=jnp.int32)

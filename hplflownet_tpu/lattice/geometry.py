@@ -126,14 +126,21 @@ class PermutohedralGeometry:
         way).
         """
         d, d1 = self.d, self.d1
-        num_points = elevated.shape[0]
         greedy = jnp.round(elevated / d1) * d1                        # nearest remainder-0
         el_minus_gr = elevated - greedy
 
         # rank[n, c] = position of coordinate c in descending residual order
-        # (stable, ties broken by coordinate index).
-        order = jnp.argsort(-el_minus_gr, axis=1, stable=True)
-        rank = jnp.argsort(order, axis=1, stable=True).astype(jnp.int32)
+        # (stable, ties broken by coordinate index) — computed by compare
+        # counting: rank-2 (N, d1) argsorts are a TPU sort pathology
+        # (CLAUDE.md), while the (N, d1, d1) compare grid is 16 elementwise
+        # ops per point.  Identical tie semantics to a stable descending
+        # argsort: j precedes c iff v[j] > v[c], or v[j] == v[c] and j < c.
+        v_c = el_minus_gr[:, :, None]                         # (N, c, 1)
+        v_j = el_minus_gr[:, None, :]                         # (N, 1, j)
+        idx = jnp.arange(d1, dtype=jnp.int32)
+        before = (v_j > v_c) | ((v_j == v_c)
+                                & (idx[None, None, :] < idx[None, :, None]))
+        rank = jnp.sum(before.astype(jnp.int32), axis=2)      # (N, d1)
 
         # The rounded point may be off the sum==0 plane by d1*k; fix by moving
         # the k largest (or smallest) residual coordinates to the next lattice
@@ -152,24 +159,22 @@ class PermutohedralGeometry:
         rank = rank + remainder_sum.astype(jnp.int32)
 
         # Barycentric coordinates from the rank-sorted residuals
-        # (reference :337-345).  The reference scatter-adds +-el_minus_gr at
-        # (d - rank) / (d1 - rank); equivalently, with s[k] = residual of the
-        # rank-k coordinate, bary[j] = (s[d-j] - s[d1-j]) / d1 (out-of-range
-        # terms zero).  Computed via a tiny one-hot contraction — XLA TPU
-        # scatters are poison (see ops/segment.py).
+        # (reference :337-345).  With s[k] = residual of the rank-k
+        # coordinate (descending) and u[k] = s[d - k] its ascending mirror,
+        # bary[0] = 1 + (u[0] - u[d]) / d1 and bary[j] = (u[j] - u[j-1]) / d1
+        # — the reference's scatter-add collapses to ascending-order
+        # differences.  u comes from a masked sum over the (N, d1, d1)
+        # rank-match grid: no one-hot matmul, no scatter, no concat shuffle.
         el_minus_gr = elevated - greedy
-        onehot = jax.nn.one_hot(rank, d1, dtype=jnp.float32)  # (N, d1, d1)
-        sorted_el = jnp.einsum("nc,nck->nk", el_minus_gr, onehot)
-        s_rev = sorted_el[:, ::-1]                            # s[d-j] at col j
-        zeros1 = jnp.zeros((num_points, 1), dtype=jnp.float32)
-        t1 = jnp.concatenate([s_rev, zeros1], axis=1)         # (N, d1+1)
-        t2 = jnp.concatenate([zeros1, s_rev], axis=1)
-        bary = (t1 - t2) / d1
-        bary = bary.at[:, 0].add(1.0 + bary[:, d1])
-        bary = bary[:, :d1]
+        u = jnp.sum(jnp.where(rank[:, :, None] == (d - idx)[None, None, :],
+                              el_minus_gr[:, :, None], 0.0), axis=1)  # (N, d1)
+        bary0 = 1.0 + (u[:, :1] - u[:, d:]) / d1
+        bary = jnp.concatenate([bary0, (u[:, 1:] - u[:, :-1]) / d1], axis=1)
 
-        # keys[n, r, c] = greedy[n, c] + canonical[rank[n, c], r]
-        keys = greedy.astype(jnp.int32)[:, None, :] + jnp.transpose(
-            self.canonical[rank], (0, 2, 1)
-        )
+        # keys[n, r, c] = greedy[n, c] + canonical[rank[n, c], r]; the
+        # canonical matrix is canonical[i, r] = r - d1 * (i + r >= d1)
+        # (canonical_matrix docstring), so the gather is pure arithmetic.
+        r_ax = idx[None, :, None]                             # remainder axis
+        keys = (greedy.astype(jnp.int32)[:, None, :] + r_ax
+                - d1 * ((rank[:, None, :] + r_ax) >= d1).astype(jnp.int32))
         return KeysBarycentric(keys=keys, barycentric=bary, el_minus_gr=el_minus_gr)

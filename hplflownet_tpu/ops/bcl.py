@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .pallas_stencil import stencil_gather_matmul
+from .pallas_stencil import (BLUR_WINDOW, _apply_epilogue,
+                             stencil_dkernel, stencil_gather_matmul)
 from .segment import ReducePlan, weighted_reduce
 
 __all__ = ["splat", "blur_matmul", "slice_to_points", "BilateralConv",
@@ -107,23 +108,33 @@ def splat(
 # blur (custom VJP via the negated-tap stencil)
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def blur_matmul(
     tap_negation: tuple,       # static: index of -offset per tap (adjoint)
+    act_slope,                 # static: None linear / 0.0 ReLU / leaky slope
+    out_dtype: str,            # static: output storage dtype
     splatted_pad: jax.Array,   # (H+1, C_in), row 0 = zero sentinel
     neighbors: jax.Array,      # (F, H) int32, -1 = absent
     kernel: jax.Array,         # (F, C_in, C_out)
     bias: jax.Array,           # (C_out,)
 ) -> jax.Array:
-    """Stencil convolution over the lattice as F gather+matmul steps.
+    """act(stencil conv + bias) over the lattice, epilogue fused in-kernel.
+
+    The bias add, activation and output cast happen inside the Pallas
+    kernel's single HBM write (pallas_stencil._apply_epilogue), so wide
+    decoder layers never round-trip an f32 pre-activation.  The activation
+    gradient is recovered from the saved OUTPUT (monotone activations:
+    y >= 0 iff pre-activation >= 0), so no pre-activation residual exists.
 
     Overflow asymmetry: the Pallas forward degrades (tap, block) pairs
-    whose index span overflows the kernel window to absent, but the adjoint
-    (negated-tap stencil + recomputed spread for dW) includes them — the
-    gradient is exact only while ``ScalePair.stencil_overflow == 0``
-    (counted by the builder, surfaced by the driver).
+    whose index span overflows the kernel window to absent; the adjoint's
+    windows (negated-tap stencil, windowed dW kernel) are computed from
+    their own index rows, so when ``ScalePair.stencil_overflow > 0`` the
+    gradient may not match the degraded forward exactly.  Zero on realistic
+    clouds; surfaced by the driver.
     """
-    return _blur_fwd_impl(splatted_pad, neighbors, kernel, bias)
+    return _blur_fwd_impl(act_slope, out_dtype, splatted_pad, neighbors,
+                          kernel, bias)
 
 
 # Blurs whose table + tap kernel fit in VMEM go through the fused Pallas
@@ -140,6 +151,10 @@ def blur_matmul(
 _PALLAS_VMEM_BUDGET = 14 * 2**20
 _PALLAS_WIDE_BUDGET = 80 * 2**20
 _PALLAS_WIDE_LIMIT = 100 * 2**20
+# the dW kernel holds table + cotangent + a tap-group of (C_in, C_out)
+# accumulator slabs; its only per-block buffers are tiny, so it can run
+# closer to the physical limit
+_DKERNEL_BUDGET = 96 * 2**20
 
 
 def _pallas_tier(h: int, c_in: int, kernel_bytes: int):
@@ -166,45 +181,89 @@ def _stencil_xla(splatted_pad, neighbors, kernel):
                                preferred_element_type=jnp.float32)
 
 
-def _stencil(splatted_pad, neighbors, kernel, window=384):
+def _stencil(splatted_pad, neighbors, kernel, window=BLUR_WINDOW,
+             bias=None, act_slope=None, out_dtype=jnp.float32):
     f, c_in, c_out = kernel.shape
     kb = f * (-(-c_in // 128) * 128) * c_out * kernel.dtype.itemsize
     tier = _pallas_tier(splatted_pad.shape[0] - 1, c_in, kb)
     if tier is not None:
         return stencil_gather_matmul(splatted_pad[1:], neighbors, kernel,
-                                     window=window,
+                                     window=window, bias=bias,
+                                     act_slope=act_slope,
+                                     out_dtype=out_dtype,
                                      vmem_limit_bytes=tier or None)
-    return _stencil_xla(splatted_pad, neighbors, kernel)
+    out = _stencil_xla(splatted_pad, neighbors, kernel)
+    return _apply_epilogue(out, bias, act_slope, out_dtype)
 
 
-def _blur_fwd_impl(splatted_pad, neighbors, kernel, bias):
-    out = _stencil(splatted_pad, neighbors, kernel)
-    return _constrain_vertices(out + bias.astype(jnp.float32))
+def _dkernel(splatted_pad, neighbors, gc, window=BLUR_WINDOW):
+    """dW[f] = sum_v table[nb[f, v]]^T g[v] — Pallas windowed kernel on TPU
+    (no (F, H, C_in) spread), XLA spread+dot fallback elsewhere."""
+    h1, c_in = splatted_pad.shape
+    c_out = gc.shape[1]
+    if jax.default_backend() == "tpu":
+        c_in_p = -(-c_in // 128) * 128
+        c_out_p = -(-c_out // 128) * 128
+        slab = c_in_p * c_out_p * 4
+        tables = ((h1 - 1) * c_in_p * splatted_pad.dtype.itemsize
+                  + gc.shape[0] * c_out_p * gc.dtype.itemsize)
+        headroom = _DKERNEL_BUDGET - tables
+        if headroom >= slab:
+            acc_budget = min(8 * 2**20, headroom)
+            total = tables + min(acc_budget, neighbors.shape[0] * slab)
+            limit = None if total <= _PALLAS_VMEM_BUDGET else _PALLAS_WIDE_LIMIT
+            return stencil_dkernel(splatted_pad[1:], neighbors, gc,
+                                   window=window,
+                                   acc_budget_bytes=acc_budget,
+                                   vmem_limit_bytes=limit)
+    spread = splatted_pad[neighbors + 1]                   # (F, H, C_in)
+    return jax.lax.dot_general(spread, gc, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-def _blur_fwd(tap_negation, splatted_pad, neighbors, kernel, bias):
-    out = _blur_fwd_impl(splatted_pad, neighbors, kernel, bias)
-    return out, (splatted_pad, neighbors, kernel)
+def _act_grad(act_slope, y, g):
+    """Cotangent through act from the saved OUTPUT (monotone activations)."""
+    if act_slope is None:
+        return g
+    if act_slope == 0.0:
+        # ReLU: y == 0 covers pre <= 0; grad 0 there matches jax.nn.relu
+        return jnp.where(y > 0, g, 0)
+    # leaky: y >= 0 iff pre >= 0 (slope > 0); grad 1 at 0 matches
+    # jax.nn.leaky_relu
+    return jnp.where(y >= 0, g, jnp.asarray(act_slope, g.dtype) * g)
 
 
-def _blur_bwd(tap_negation, res, g):
+def _blur_fwd_impl(act_slope, out_dtype, splatted_pad, neighbors, kernel,
+                   bias):
+    out = _stencil(splatted_pad, neighbors, kernel, bias=bias,
+                   act_slope=act_slope, out_dtype=jnp.dtype(out_dtype))
+    return _constrain_vertices(out)
+
+
+def _blur_fwd(tap_negation, act_slope, out_dtype, splatted_pad, neighbors,
+              kernel, bias):
+    y = _blur_fwd_impl(act_slope, out_dtype, splatted_pad, neighbors,
+                       kernel, bias)
+    return y, (splatted_pad, neighbors, kernel, y)
+
+
+def _blur_bwd(tap_negation, act_slope, out_dtype, res, g):
     """Transpose stencil conv: whoever reads vertex v via offset o is v's
     neighbor via -o, so d_splat[v] = sum_f g[nb[neg(f), v]] @ W_f^T.
 
     Row 0 of splatted_pad is the constant zero sentinel; its cotangent is
     dropped by the concat adjoint upstream, so we return zeros there.
     """
-    splatted_pad, neighbors, kernel = res
+    splatted_pad, neighbors, kernel, y = res
     c_in = splatted_pad.shape[1]
     neg = jnp.asarray(tap_negation, dtype=jnp.int32)
-    gc = g.astype(splatted_pad.dtype)          # mixed-precision backward
+    gp = _act_grad(act_slope, y, g)
+    gc = gp.astype(splatted_pad.dtype)         # mixed-precision backward
     g_pad = jnp.concatenate([jnp.zeros((1, gc.shape[1]), gc.dtype), gc],
                             axis=0)
 
-    # dW: recompute the tap-major spread (remat) and contract the vertex axis
-    spread = splatted_pad[neighbors + 1]                   # (F, H, C_in)
-    d_kernel = jax.lax.dot_general(spread, gc, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    # dW through the windowed Pallas kernel — no (F, H, C_in) spread
+    d_kernel = _dkernel(splatted_pad, neighbors, gc)
 
     # d_splat via the negated-tap gather: same tap-major structure (and the
     # same fused Pallas kernel on TPU)
@@ -213,7 +272,8 @@ def _blur_bwd(tap_negation, res, g):
     d_splatted_pad = jnp.concatenate(
         [jnp.zeros((1, c_in), jnp.float32), d_sp],
         axis=0).astype(splatted_pad.dtype)
-    return d_splatted_pad, None, d_kernel.astype(kernel.dtype), g.sum(axis=0)
+    d_bias = gp.astype(jnp.float32).sum(axis=0)
+    return d_splatted_pad, None, d_kernel.astype(kernel.dtype), d_bias
 
 
 blur_matmul.defvjp(_blur_fwd, _blur_bwd)
@@ -333,15 +393,15 @@ class BilateralConv(nn.Module):
             (self.filter_size, num_input, self.widths[0]), jnp.float32)
         bias = self.param("conv0_bias", nn.initializers.zeros,
                           (self.widths[0],), jnp.float32)
-        x = blur_matmul(self.tap_negation, splatted_pad, blur_neighbors,
-                        kernel.astype(dt), bias)
+        # bias + activation + compute-dtype cast are fused into the blur
+        # kernel's epilogue (single HBM write, no f32 pre-activation
+        # round-trip); slope None = linear, 0.0 = ReLU, else leaky
         if len(self.widths) > 1 or self.last_relu:
-            x = act(x)
-        # store activations in the compute dtype (identity for f32): under
-        # bf16 the convert fuses into the matmul epilogue and every
-        # downstream read — pointwise convs, slice gathers, inter-layer
-        # concats — moves half the bytes (the wide decoder's dominant cost)
-        x = x.astype(dt)
+            slope = LEAKY_RATE if self.use_leaky else 0.0
+        else:
+            slope = None
+        x = blur_matmul(self.tap_negation, slope, self.compute_dtype,
+                        splatted_pad, blur_neighbors, kernel.astype(dt), bias)
 
         for i, w in enumerate(self.widths[1:], start=1):
             k = self.param(f"conv{i}_kernel", _dense_init,

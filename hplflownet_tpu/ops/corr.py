@@ -28,7 +28,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .bcl import (splat, _activation, _dense_init, _first_tap_init,
-                  _constrain_vertices, _stencil)
+                  _constrain_vertices, _stencil, _dkernel,
+                  _PALLAS_VMEM_BUDGET, _PALLAS_WIDE_LIMIT)
+from .pallas_stencil import (CORR_INV_WINDOW, CORR_WINDOW,
+                             stencil_tap_tables_sum)
 from .segment import ReducePlan, apply_reduce_plan
 
 __all__ = ["BilateralCorrelation", "gather_rows", "corr_self",
@@ -81,11 +84,11 @@ def corr_self(tap_negation: tuple,    # static: index of -offset per tap
     reduction and no scatter.
 
     Overflow asymmetry: the Pallas forward drops (tap, block) pairs whose
-    window span overflows (degrade-to-absent), while this adjoint includes
-    them — when ``ScalePair.stencil_overflow > 0`` the gradient is that of
-    the un-degraded op, not of the computed forward.  Zero on realistic
-    clouds; the driver warns when the counters are nonzero
-    (train/driver.py overflow check).
+    window span overflows (degrade-to-absent); the adjoint's windows are
+    computed from its own index rows, so when
+    ``ScalePair.stencil_overflow > 0`` the gradient may not match the
+    degraded forward exactly.  Zero on realistic clouds; the driver warns
+    when the counters are nonzero (train/driver.py overflow check).
     """
     return _stencil(table_pad, indices, k_self)
 
@@ -111,10 +114,9 @@ def _corr_self_bwd(tap_negation, res, g):                    # g: (H1, W)
     d_rows = _stencil(g_pad, indices[neg], k_t)               # (H1, C) f32
     d_table = jnp.concatenate(
         [jnp.zeros((1, c), d_rows.dtype), d_rows], axis=0)
-    # d_k_self: recompute the spread (bwd only, XLA gather)
-    spread = table_pad[indices + 1]                           # (Cc, H1, C)
-    d_k = jnp.einsum("khc,hw->kcw", spread, gc,
-                     preferred_element_type=jnp.float32)
+    # d_k_self via the windowed dW kernel (no (Cc, H1, C) spread on TPU);
+    # returns (Cc, C, W) = k_self's layout directly
+    d_k = _dkernel(table_pad, indices, gc)
     return (d_table.astype(table_pad.dtype), None,
             d_k.astype(k_self.dtype))
 
@@ -152,7 +154,7 @@ def corr_cross(pad2: jax.Array,       # (H2+1, C)
 def _corr_cross_impl(pad2, uniq_idx, k2):
     u, c, f, w = k2.shape
     flat = _stencil(pad2, uniq_idx, k2.reshape(u, c, f * w),
-                    window=512)                             # (H1, F*W)
+                    window=CORR_WINDOW)                     # (H1, F*W)
     return flat.reshape(flat.shape[0], f, w)
 
 
@@ -167,27 +169,49 @@ def _corr_cross_bwd(res, g):                                 # g: (H1, F, W)
     u, h1 = uniq_idx.shape
     f, w = k2.shape[2], k2.shape[3]
     gc = g.astype(pad2.dtype)
+    fw = f * w
+    g_flat = gc.reshape(h1, fw)
+    k_t = jnp.transpose(k2.reshape(u, c, fw), (0, 2, 1)).astype(gc.dtype)
 
     # The vertex-id maps are injective, so the adjoint of the uniq_idx
     # gather reads through the inverse table:
     #   d_pad2[r] = sum_u g[uniq_inv[u, r]] @ k2[u]^T   (over the (f, w) axes)
-    # — again exactly the stencil pattern (table = cotangent flattened to
-    # (H1, F*W), one "tap" per unique offset), so the fused Pallas kernel
-    # applies.  The previous form materialized a (U, H1, C) einsum and
-    # random-row-gathered it at 64-ch granularity — 5.4 ms per train step
-    # at the finest scale; this one runs it as one-hot window matmuls.
-    fw = f * w
-    g_pad = jnp.concatenate(
-        [jnp.zeros((1, fw), gc.dtype), gc.reshape(h1, fw)], axis=0)
-    k_t = jnp.transpose(k2.reshape(u, c, fw), (0, 2, 1)).astype(gc.dtype)
-    d_rows = _stencil(g_pad, uniq_inv, k_t, window=512)      # (H2, C) f32
+    # On TPU the kernel contraction happens BEFORE the gather: the cotangent
+    # is F*W (~512) lanes wide but d_pad2 only C (~128), so pre-transforming
+    # per-tap tables z[u] = g @ k2[u]^T (one batched MXU matmul) and then
+    # running the gather-only tap-tables kernel moves 4x narrower windows
+    # than gathering the raw cotangent (measured 3.0 -> ~1.5 ms at the
+    # finest scale).  CPU fallback: the plain stencil over the cotangent.
+    if jax.default_backend() == "tpu":
+        c_p = -(-c // 128) * 128
+        # one transpose-free matmul produces every tap's table as column
+        # group u of (H1, U*C): z[:, u*C:(u+1)*C] = g @ k2[u]^T
+        k2m = jnp.transpose(k_t, (1, 0, 2))                  # (FW, U, C)
+        if c_p != c:
+            k2m = jnp.concatenate(
+                [k2m, jnp.zeros((fw, u, c_p - c), k2m.dtype)], axis=2)
+        z = jax.lax.dot_general(
+            g_flat, k2m.reshape(fw, u * c_p),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(gc.dtype)
+        # slab group sized to ~12 MB of VMEM (double-buffered by Pallas)
+        h_pad = max(-(-h1 // 16) * 16, CORR_INV_WINDOW)
+        slab = h_pad * c_p * z.dtype.itemsize
+        group = max(1, min(8, (12 * 2**20) // slab))
+        d_rows = stencil_tap_tables_sum(
+            z, c_p, uniq_inv, group=group,
+            vmem_limit_bytes=_PALLAS_WIDE_LIMIT)[:, :c]      # (H2, C) f32
+    else:
+        g_pad = jnp.concatenate(
+            [jnp.zeros((1, fw), gc.dtype), g_flat], axis=0)
+        d_rows = _stencil(g_pad, uniq_inv, k_t,
+                          window=CORR_WINDOW)                # (H2, C) f32
     d_pad2 = jnp.concatenate([jnp.zeros((1, c), jnp.float32), d_rows],
                              axis=0).astype(pad2.dtype)
 
-    sp2 = pad2[uniq_idx + 1]                                 # recompute
-    d_k2 = jnp.einsum("uhc,hfw->ucfw", sp2, gc,
-                      preferred_element_type=jnp.float32)
-    return d_pad2, None, d_k2.astype(k2.dtype), None
+    # d_k2 via the windowed dW kernel: (U, C, F*W), no (U, H1, C) spread
+    d_k2 = _dkernel(pad2, uniq_idx, g_flat, window=CORR_WINDOW)
+    return d_pad2, None, d_k2.reshape(u, c, f, w).astype(k2.dtype), None
 
 
 corr_cross.defvjp(_corr_cross_fwd, _corr_cross_bwd)

@@ -48,21 +48,54 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["stencil_gather_matmul", "stencil_overflow_count",
-           "window_starts"]
+__all__ = ["stencil_gather_matmul", "stencil_dkernel",
+           "stencil_tap_tables_sum", "stencil_overflow_count",
+           "window_starts", "BLUR_WINDOW", "CORR_WINDOW"]
 
 _BLOCK = 128        # output vertices per program
 _LANES = 128
 _ALIGN = 16         # sublane alignment for dynamic vector loads (bf16 tile)
 
+# Default kernel windows per stencil family, sized to the measured
+# 16-aligned span p100 at 128-entry blocks on FT3D-like clouds (261 for the
+# radius-1 blur stencil, 428 for the 65-offset correlation stencil) plus
+# margin.  Larger spans degrade to absent and are counted by the builder
+# (ScalePair.stencil_overflow); the one-hot gather cost scales linearly
+# with the window, so these are deliberately tight.
+BLUR_WINDOW = 288
+CORR_WINDOW = 448
+# the inverse-table gather-sum kernel processes 2 x 128 output rows per
+# program (overhead amortization), so its window covers 2-block spans
+# (measured span p100 at 256-entry blocks: 630 over 8 seeds)
+CORR_INV_BLOCK = 256
+CORR_INV_WINDOW = 672
+
+
+def _apply_epilogue(x, bias, act_slope, out_dtype):
+    """bias add + (leaky-)ReLU + cast, in f32 — shared by TPU and XLA paths.
+
+    ``act_slope`` None = linear; 0.0 = ReLU (grad 0 at exactly 0, matching
+    jax.nn.relu); otherwise LeakyReLU with that negative slope (grad 1 at 0,
+    matching jax.nn.leaky_relu).
+    """
+    if bias is not None:
+        x = x + bias.astype(jnp.float32)
+    if act_slope is not None:
+        if act_slope == 0.0:
+            x = jnp.maximum(x, 0.0)
+        else:
+            x = jnp.where(x >= 0.0, x, jnp.float32(act_slope) * x)
+    return x.astype(out_dtype)
+
 
 def _kernel(starts_ref,            # (F, nb) SMEM scalar prefetch
             neighbors_ref,         # (F, B) VMEM block
             kernel_ref,            # (F, C_in, C_out) VMEM (full)
+            bias_ref,              # (1, C_out) VMEM
             table_ref,             # (H, C_in) VMEM (full)
             out_ref,               # (B, C_out) VMEM block
             acc_ref,               # (B, C_out) f32 scratch
-            *, num_taps, window):
+            *, num_taps, window, act_slope):
     i = pl.program_id(0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, window), 1)
 
@@ -92,10 +125,14 @@ def _kernel(starts_ref,            # (F, nb) SMEM scalar prefetch
 
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
     jax.lax.fori_loop(0, num_taps, tap, 0, unroll=True)
-    out_ref[:, :] = acc_ref[:, :]
+    # fused epilogue: bias + activation + cast happen before the only HBM
+    # write, so wide layers never round-trip an f32 pre-activation
+    out_ref[:, :] = _apply_epilogue(acc_ref[:, :], bias_ref[0, :],
+                                    act_slope, out_ref.dtype)
 
 
-def _pallas_impl(table, neighbors, kernel, starts, window, *,
+def _pallas_impl(table, neighbors, kernel, bias, starts, window, *,
+                 act_slope=None, out_dtype=jnp.float32,
                  interpret=False, vmem_limit_bytes=None):
     f, hout = neighbors.shape
     h, c_in = table.shape
@@ -115,6 +152,7 @@ def _pallas_impl(table, neighbors, kernel, starts, window, *,
         in_specs=[
             pl.BlockSpec((f, _BLOCK), lambda i, *_: (0, i)),
             pl.BlockSpec((f, c_in, c_out), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((1, c_out), lambda i, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_BLOCK, c_out), lambda i, *_: (i, 0)),
@@ -127,32 +165,36 @@ def _pallas_impl(table, neighbors, kernel, starts, window, *,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_bytes))
     out = pl.pallas_call(
-        functools.partial(_kernel, num_taps=f, window=window),
+        functools.partial(_kernel, num_taps=f, window=window,
+                          act_slope=act_slope),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * _BLOCK, c_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * _BLOCK, c_out), out_dtype),
         interpret=interpret,
         **kwargs,
-    )(starts, neighbors, kernel, table)
+    )(starts, neighbors, kernel, bias.reshape(1, c_out), table)
     return out[:hout]
 
 
-def window_starts(neighbors: jax.Array, h: int, window: int):
+def window_starts(neighbors: jax.Array, h: int, window: int,
+                  block: int = _BLOCK):
     """Per-(tap, block) window starts + a does-it-fit predicate.
 
     ``starts[f, i]`` is the smallest valid index in block ``i`` of tap ``f``
     aligned down to 16 (Mosaic sublane tiling) and clamped so the window
     stays inside the table (0 for all-absent pairs — their one-hot rows are
     all-zero anyway); ``fits`` is True iff every block's largest valid index
-    falls inside its window.
+    falls inside its window.  ``block`` is the output rows per kernel
+    program (kernels processing several 128-row tiles per program use a
+    proportionally wider window).
     """
     f, hout = neighbors.shape
-    nb = -(-hout // _BLOCK)
-    pad = nb * _BLOCK - hout
+    nb = -(-hout // block)
+    pad = nb * block - hout
     nbr = neighbors
     if pad:
         nbr = jnp.concatenate(
             [nbr, jnp.full((f, pad), -1, jnp.int32)], axis=1)
-    blk = nbr.reshape(f, nb, _BLOCK)
+    blk = nbr.reshape(f, nb, block)
     valid = blk >= 0
     lo = jnp.min(jnp.where(valid, blk, h), axis=2)       # (f, nb)
     hi = jnp.max(jnp.where(valid, blk, -1), axis=2)
@@ -170,7 +212,7 @@ def window_starts(neighbors: jax.Array, h: int, window: int):
 
 
 def stencil_overflow_count(neighbors: jax.Array, h: int,
-                           window: int) -> jax.Array:
+                           window: int, block: int = _BLOCK) -> jax.Array:
     """Number of (tap, block) pairs whose span exceeds the kernel window.
 
     Such taps contribute zero in :func:`stencil_gather_matmul` (the
@@ -179,13 +221,13 @@ def stencil_overflow_count(neighbors: jax.Array, h: int,
     and capacity overflow.
     """
     f, hout = neighbors.shape
-    nb = -(-hout // _BLOCK)
-    pad = nb * _BLOCK - hout
+    nb = -(-hout // block)
+    pad = nb * block - hout
     nbr = neighbors
     if pad:
         nbr = jnp.concatenate(
             [nbr, jnp.full((f, pad), -1, jnp.int32)], axis=1)
-    blk = nbr.reshape(f, nb, _BLOCK)
+    blk = nbr.reshape(f, nb, block)
     valid = blk >= 0
     lo = jnp.min(jnp.where(valid, blk, h), axis=2)
     hi = jnp.max(jnp.where(valid, blk, -1), axis=2)
@@ -198,20 +240,8 @@ def stencil_overflow_count(neighbors: jax.Array, h: int,
     return jnp.sum((hi - starts >= window).astype(jnp.int32))
 
 
-def stencil_gather_matmul(table: jax.Array,       # (H, C_in), NO sentinel row
-                          neighbors: jax.Array,   # (F, H_out) int32, -1 absent
-                          kernel: jax.Array,      # (F, C_in, C_out)
-                          window: int = 384,
-                          *, interpret: bool = False,
-                          vmem_limit_bytes: int | None = None) -> jax.Array:
-    """sum_f table[neighbors[f]] @ kernel[f] -> (H_out, C_out) f32.
-
-    Absent (-1) taps contribute zero, and so does any tap whose block's
-    span exceeds ``window`` (its one-hot row has no hit) — the counted
-    degrade-to-absent contract; see :func:`stencil_overflow_count`.
-    ``window``: 384 covers the radius-1 blur stencil, 512 the 65-offset
-    correlation stencil (measured span p100 261/428 at 128-entry blocks).
-    """
+def _pad_table_and_kernel(table, kernel, window):
+    """Shared padding: 16-align the table height, 128-align the lane dim."""
     h, c_in = table.shape
     assert window % _ALIGN == 0, window
     # pad the height so h_pad - window is _ALIGN-aligned: dynamic window
@@ -222,17 +252,265 @@ def stencil_gather_matmul(table: jax.Array,       # (H, C_in), NO sentinel row
     if h_pad != h:
         table = jnp.concatenate(
             [table, jnp.zeros((h_pad - h, c_in), table.dtype)], axis=0)
-    starts, _ = window_starts(neighbors, h_pad, window)
-
     # Mosaic requires 128-aligned lane extents: zero-pad channels
     # (padded lanes contribute zero to the matmul)
     cpad = (-c_in) % _LANES
     if cpad:
         table = jnp.concatenate(
             [table, jnp.zeros((table.shape[0], cpad), table.dtype)], axis=1)
-        kernel = jnp.concatenate(
-            [kernel, jnp.zeros((kernel.shape[0], cpad, kernel.shape[2]),
-                               kernel.dtype)], axis=1)
-    return _pallas_impl(table, neighbors, kernel, starts, window,
+        if kernel is not None:
+            kernel = jnp.concatenate(
+                [kernel, jnp.zeros((kernel.shape[0], cpad, kernel.shape[2]),
+                                   kernel.dtype)], axis=1)
+    return table, kernel, h_pad
+
+
+def stencil_gather_matmul(table: jax.Array,       # (H, C_in), NO sentinel row
+                          neighbors: jax.Array,   # (F, H_out) int32, -1 absent
+                          kernel: jax.Array,      # (F, C_in, C_out)
+                          window: int = BLUR_WINDOW,
+                          *, bias: jax.Array | None = None,
+                          act_slope: float | None = None,
+                          out_dtype=jnp.float32,
+                          interpret: bool = False,
+                          vmem_limit_bytes: int | None = None) -> jax.Array:
+    """act(sum_f table[neighbors[f]] @ kernel[f] + bias) -> (H_out, C_out).
+
+    Absent (-1) taps contribute zero, and so does any tap whose block's
+    span exceeds ``window`` (its one-hot row has no hit) — the counted
+    degrade-to-absent contract; see :func:`stencil_overflow_count`.
+    ``window``: BLUR_WINDOW covers the radius-1 blur stencil, CORR_WINDOW
+    the 65-offset correlation stencil.  ``bias``/``act_slope``/``out_dtype``
+    form the fused epilogue (see :func:`_apply_epilogue`): applied in f32
+    before the single HBM write.
+    """
+    c_out = kernel.shape[-1]
+    table, kernel, h_pad = _pad_table_and_kernel(table, kernel, window)
+    starts, _ = window_starts(neighbors, h_pad, window)
+    if bias is None:
+        bias = jnp.zeros((c_out,), jnp.float32)
+    return _pallas_impl(table, neighbors, kernel, bias, starts, window,
+                        act_slope=act_slope, out_dtype=out_dtype,
                         interpret=interpret,
                         vmem_limit_bytes=vmem_limit_bytes)
+
+
+# ---------------------------------------------------------------------------
+# weight-gradient kernel: dW[f] = sum_v table[neighbors[f, v]]^T g[v]
+# ---------------------------------------------------------------------------
+
+def _dk_kernel(starts_ref,         # (F_pad, nb) SMEM scalar prefetch
+               neighbors_ref,      # (F_pad, B) VMEM block at (0, i)
+               g_ref,              # (H_out_pad, C_out) VMEM (full)
+               table_ref,          # (H, C_in) VMEM (full)
+               out_ref,            # (G, C_in, C_out) VMEM block per tap group
+               *, window, gsize):
+    fi = pl.program_id(0)
+    i = pl.program_id(1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, window), 1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:, :, :] = jnp.zeros_like(out_ref)
+
+    gb = g_ref[pl.ds(i * _BLOCK, _BLOCK), :]             # (B, C_out)
+    # taps grouped per program: the (tap, block) grid alone would spend
+    # more in per-program overhead than in compute for narrow layers
+    # (measured 1.9 ms vs 0.6 at 15x250 programs); G taps amortize it
+    for k in range(gsize):                               # static unroll
+        f = fi * gsize + k
+        s = starts_ref[f, i]
+        s0 = pl.multiple_of(s, _ALIGN)
+        win = table_ref[pl.ds(s0, window), :]            # (W, C_in)
+        nb = neighbors_ref[f, :]                         # (B,)
+        lidx = nb - s
+        onehot = lidx[:, None] == iota_w                 # (B, W)
+        gt = jax.lax.dot_general(
+            onehot.astype(win.dtype), win,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (B, C_in)
+        out_ref[k, :, :] += jax.lax.dot_general(
+            gt.astype(gb.dtype), gb,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (C_in, C_out)
+
+
+def stencil_dkernel(table: jax.Array,       # (H, C_in), NO sentinel row
+                    neighbors: jax.Array,   # (F, H_out) int32, -1 absent
+                    g: jax.Array,           # (H_out, C_out) cotangent
+                    window: int = BLUR_WINDOW,
+                    *, acc_budget_bytes: int = 8 * 2**20,
+                    interpret: bool = False,
+                    vmem_limit_bytes: int | None = None) -> jax.Array:
+    """dW[f] = sum_v table[neighbors[f, v]]^T (x) g[v] -> (F, C_in, C_out).
+
+    The stencil convolution's weight gradient without the (F, H, C_in)
+    spread the XLA form materializes (hundreds of MB for the wide decoder
+    blurs): per (tap, block) the source rows are re-gathered through the
+    same one-hot window as the forward kernel and contracted against the
+    cotangent block on the MXU, accumulating one (C_in, C_out) tap slab
+    held in VMEM.  Same degrade-to-absent contract as the forward — when
+    ``stencil_overflow == 0`` this matches the spread form exactly.
+    ``C_in``/``C_out`` lane padding is stripped before returning.
+    """
+    f, hout = neighbors.shape
+    c_in = table.shape[1]
+    c_out = g.shape[1]
+    table, _, h_pad = _pad_table_and_kernel(table, None, window)
+
+    nb = -(-hout // _BLOCK)
+    pad = nb * _BLOCK - hout
+    if pad:
+        neighbors = jnp.concatenate(
+            [neighbors, jnp.full((f, pad), -1, jnp.int32)], axis=1)
+        g = jnp.concatenate(
+            [g, jnp.zeros((pad, c_out), g.dtype)], axis=0)
+    copad = (-c_out) % _LANES
+    if copad:
+        g = jnp.concatenate(
+            [g, jnp.zeros((g.shape[0], copad), g.dtype)], axis=1)
+    c_in_pad = table.shape[1]
+    c_out_pad = g.shape[1]
+
+    # group taps so each program does enough MXU work to bury its overhead;
+    # the (G, C_in, C_out) f32 accumulator stays under the caller's budget.
+    # Balanced: ceil(f / n_groups) instead of the raw budget bound, which
+    # could pad the tap axis by up to 48% of pure waste (65 -> 96 taps)
+    group = max(1, min(f, acc_budget_bytes // (c_in_pad * c_out_pad * 4)))
+    group = -(-f // (-(-f // group)))
+    fpad = (-f) % group
+    if fpad:
+        neighbors = jnp.concatenate(
+            [neighbors, jnp.full((fpad, neighbors.shape[1]), -1,
+                                 jnp.int32)], axis=0)
+    f_pad = f + fpad
+    starts, _ = window_starts(neighbors, h_pad, window)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f_pad // group, nb),
+        in_specs=[
+            pl.BlockSpec((f_pad, _BLOCK), lambda fi, i, *_: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, c_in_pad, c_out_pad),
+                               lambda fi, i, *_: (fi, 0, 0)),
+    )
+    kwargs = {}
+    if vmem_limit_bytes is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+    out = pl.pallas_call(
+        functools.partial(_dk_kernel, window=window, gsize=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_pad, c_in_pad, c_out_pad),
+                                       jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(starts, neighbors, g, table)
+    return out[:f, :c_in, :c_out]
+
+
+# ---------------------------------------------------------------------------
+# per-tap-table gather-sum: out[v] = sum_f tables[f, neighbors[f, v]]
+# ---------------------------------------------------------------------------
+
+def _tts_kernel(starts_ref,        # (F_pad, nb) SMEM scalar prefetch
+                neighbors_ref,     # (F_pad, BO) VMEM block at (0, i)
+                tables_ref,        # (H, G*C) VMEM block at (0, gi)
+                out_ref,           # (1, BO, C) VMEM block at (gi, i)
+                *, window, gsize, c_p, block):
+    gi = pl.program_id(0)
+    i = pl.program_id(1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    for k in range(gsize):                       # static unroll over the group
+        s = starts_ref[gi * gsize + k, i]
+        s0 = pl.multiple_of(s, _ALIGN)
+        win = tables_ref[pl.ds(s0, window), k * c_p:(k + 1) * c_p]  # (W, C)
+        nb = neighbors_ref[gi * gsize + k, :]
+        lidx = nb - s
+        onehot = lidx[:, None] == iota_w
+        acc += jax.lax.dot_general(
+            onehot.astype(win.dtype), win,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (BO, C)
+    out_ref[0, :, :] = acc
+
+
+def stencil_tap_tables_sum(tables: jax.Array,     # (H, F*C) tap-major columns
+                           c: int,                # per-tap column width (C)
+                           neighbors: jax.Array,  # (F, H_out) int32, -1 absent
+                           window: int = CORR_INV_WINDOW,
+                           *, group: int = 4,
+                           block: int = CORR_INV_BLOCK,
+                           interpret: bool = False,
+                           vmem_limit_bytes: int | None = None) -> jax.Array:
+    """out[v] = sum_f tables[neighbors[f, v], f*C:(f+1)*C] -> (H_out, C) f32.
+
+    The gather-only stencil: each tap reads from its OWN pre-transformed
+    table, laid out as tap-major column groups of one (H, F*C) array so the
+    producing matmul needs no transpose (used by the correlation adjoint,
+    where contracting the kernel into per-tap tables first shrinks the
+    gathered row width 4x; see ops/corr._corr_cross_bwd).  ``c`` must be a
+    multiple of 128 so the column slices stay lane-tile-aligned.  Tap groups
+    of ``group`` columns stream through VMEM; each group emits a partial-sum
+    plane (Pallas output blocks may only accumulate across CONSECUTIVE grid
+    steps, and the slab streaming wants blocks-fastest order), and the
+    F/group partials are summed by one cheap XLA reduce outside.
+    Same degrade-to-absent window contract as the main kernel.
+    """
+    f, hout = neighbors.shape
+    h = tables.shape[0]
+    assert c % _LANES == 0, c
+    assert tables.shape[1] == f * c, (tables.shape, f, c)
+    assert window % _ALIGN == 0, window
+    assert block % _BLOCK == 0, block
+    # balanced grouping: avoid padding the tap axis with pure waste
+    group = -(-f // (-(-f // min(group, f))))
+    h_pad = max(-(-h // _ALIGN) * _ALIGN, window)
+    if h_pad != h:
+        tables = jnp.concatenate(
+            [tables, jnp.zeros((h_pad - h, f * c), tables.dtype)], axis=0)
+    # pad the tap axis to a multiple of the group size with inert columns
+    fpad = (-f) % group
+    if fpad:
+        tables = jnp.concatenate(
+            [tables, jnp.zeros((h_pad, fpad * c), tables.dtype)], axis=1)
+        neighbors = jnp.concatenate(
+            [neighbors, jnp.full((fpad, hout), -1, jnp.int32)], axis=0)
+    f_pad = f + fpad
+
+    starts, _ = window_starts(neighbors, h_pad, window, block=block)
+    nb = starts.shape[1]
+    pad = nb * block - hout
+    if pad:
+        neighbors = jnp.concatenate(
+            [neighbors, jnp.full((f_pad, pad), -1, jnp.int32)], axis=1)
+
+    n_groups = f_pad // group
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups, nb),
+        in_specs=[
+            pl.BlockSpec((f_pad, block), lambda gi, i, *_: (0, i)),
+            pl.BlockSpec((h_pad, group * c), lambda gi, i, *_: (0, gi)),
+        ],
+        out_specs=pl.BlockSpec((1, block, c), lambda gi, i, *_: (gi, i, 0)),
+    )
+    kwargs = {}
+    if vmem_limit_bytes is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+    out = pl.pallas_call(
+        functools.partial(_tts_kernel, window=window, gsize=group, c_p=c,
+                          block=block),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups, nb * block, c),
+                                       jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(starts, neighbors, tables)
+    return jnp.sum(out, axis=0)[:hout]

@@ -99,7 +99,7 @@ def test_blur_matches_oracle_and_identity_filter():
     kernel = rng.randn(15, c_in, c_out).astype(np.float32) * 0.2
     bias = rng.randn(c_out).astype(np.float32)
 
-    got = blur_matmul(NEG15, jnp.asarray(splatted), sp.pc1_blur_neighbors,
+    got = blur_matmul(NEG15, None, "float32", jnp.asarray(splatted), sp.pc1_blur_neighbors,
                       jnp.asarray(kernel), jnp.asarray(bias))
     # oracle expects vertex-major (H, F) neighbors
     want = oracle.blur_np(splatted, np.asarray(sp.pc1_blur_neighbors).T,
@@ -110,7 +110,7 @@ def test_blur_matches_oracle_and_identity_filter():
     # (on valid vertices; padded rows have no self-neighbor and yield zero)
     ident = np.zeros((15, c_in, c_in), dtype=np.float32)
     ident[0] = np.eye(c_in)
-    got_id = np.asarray(blur_matmul(NEG15, jnp.asarray(splatted),
+    got_id = np.asarray(blur_matmul(NEG15, None, "float32", jnp.asarray(splatted),
                                     sp.pc1_blur_neighbors,
                                     jnp.asarray(ident), jnp.zeros(c_in)))
     valid = np.asarray(sp.pc1_blur_neighbors)[0] >= 0
@@ -134,7 +134,7 @@ def test_blur_grad_matches_plain_ad():
         return jnp.einsum("fhc,fco->ho", gathered, k) + b
 
     def ours(s, k, b):
-        return blur_matmul(NEG15, s, nb, k, b)
+        return blur_matmul(NEG15, None, "float32", s, nb, k, b)
 
     np.testing.assert_allclose(np.asarray(ours(splatted, kernel, bias)),
                                np.asarray(ref_blur(splatted, kernel, bias)),

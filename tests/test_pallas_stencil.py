@@ -77,7 +77,8 @@ def test_stencil_kernel_wide_spans_degrade_to_zero_contribution():
     eff_nb = np.where(in_win, blk, -1).reshape(15, -1)[:, :h]
 
     got = np.asarray(jax.jit(
-        lambda t, n, k: stencil_gather_matmul(t, n, k, interpret=True)
+        lambda t, n, k: stencil_gather_matmul(t, n, k, window=window,
+                                              interpret=True)
     )(table, nb, kern))
     np.testing.assert_allclose(got, _ref(table, eff_nb, kern), atol=2e-3)
     # and the builder-side counter flags the drops
@@ -92,3 +93,61 @@ def test_stencil_kernel_small_table():
         lambda t, n, k: stencil_gather_matmul(t, n, k, interpret=True)
     )(table, nb, kern))
     np.testing.assert_allclose(got, _ref(table, nb, kern), atol=2e-3)
+
+
+def test_stencil_kernel_fused_epilogue():
+    """bias + leaky-ReLU + bf16 cast inside the kernel == applying them
+    outside the plain kernel."""
+    rng = np.random.RandomState(3)
+    table, nb, kern = _mk(rng, 1500, 15, 36, 24, drift=30)
+    bias = rng.randn(24).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda t, n, k, b: stencil_gather_matmul(
+            t, n, k, bias=b, act_slope=0.1, out_dtype=jnp.bfloat16,
+            interpret=True)
+    )(table, nb, kern, bias).astype(jnp.float32))
+    pre = _ref(table, nb, kern) + bias
+    want = np.where(pre >= 0, pre, 0.1 * pre).astype(
+        jnp.bfloat16).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_stencil_dkernel_matches_spread_form():
+    """dW[f] = sum_v table[nb[f, v]]^T g[v] — the windowed weight-gradient
+    kernel equals the dense spread contraction."""
+    from hplflownet_tpu.ops.pallas_stencil import stencil_dkernel
+
+    rng = np.random.RandomState(4)
+    table, nb, _ = _mk(rng, 2000, 15, 36, 0, drift=30)
+    g = rng.randn(nb.shape[1], 24).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda t, n, gg: stencil_dkernel(t, n, gg, interpret=True)
+    )(table, nb, g))
+    want = np.zeros((15, 36, 24), np.float32)
+    for f in range(15):
+        ok = nb[f] >= 0
+        want[f] = table[nb[f][ok]].T @ g[ok]
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_stencil_tap_tables_sum_matches_gather_sum():
+    """out[v] = sum_f tables[nb[f, v], f-th column group]."""
+    from hplflownet_tpu.ops.pallas_stencil import stencil_tap_tables_sum
+
+    rng = np.random.RandomState(5)
+    f, h, hout, c = 10, 1800, 1500, 128
+    tables = rng.randn(h, f * c).astype(np.float32)
+    nb = np.stack([
+        np.sort(np.clip(np.arange(hout) * h // hout
+                        + rng.randint(-30, 30, hout), 0, h - 1))
+        for _ in range(f)]).astype(np.int32)
+    nb = np.where(rng.rand(f, hout) < 0.1, -1, nb).astype(np.int32)
+    got = np.asarray(jax.jit(
+        lambda t, n: stencil_tap_tables_sum(t, c, n, group=4,
+                                            interpret=True)
+    )(tables, nb))
+    want = np.zeros((hout, c), np.float32)
+    for k in range(f):
+        ok = nb[k] >= 0
+        want[ok] += tables[nb[k][ok], k * c:(k + 1) * c]
+    np.testing.assert_allclose(got, want, atol=5e-3)

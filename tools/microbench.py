@@ -88,7 +88,7 @@ def main():
         kern = jnp.asarray(rng.randn(15, c_in, c_out), dt)
         bias = jnp.asarray(np.zeros(c_out), jnp.float32)
         nb = sp.pc1_blur_neighbors
-        bench(name, lambda t, n, k, bi: blur_matmul(neg, t, n, k, bi),
+        bench(name, lambda t, n, k, bi: blur_matmul(neg, None, "float32", t, n, k, bi),
               table, nb, kern, bias)
 
     # ---- pure matmul of the same shape (speed-of-light reference)
