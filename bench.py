@@ -39,8 +39,14 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def synthetic_frustum_clouds(batch, n, seed=0):
-    """FT3D-like clouds: points on surfaces inside a 35 m camera frustum."""
+def synthetic_frustum_clouds(batch, n, seed=0, flow_scale=0.1):
+    """FT3D-like clouds: points on surfaces inside a 35 m camera frustum.
+
+    ``flow_scale`` is the per-axis std of the patchwise rigid motion; the
+    learnability harness (tools/train_synthetic.py) uses ~1.0 (around one
+    lattice cell at its finest scale — sub-cell flows are invisible to the
+    correlation's displacement taps), while the bench keeps the default.
+    """
     rng = np.random.RandomState(seed)
     out1, out2 = [], []
     for b in range(batch):
@@ -57,7 +63,7 @@ def synthetic_frustum_clouds(batch, n, seed=0):
         normals /= np.linalg.norm(normals, axis=1, keepdims=True)
         local -= (local * normals[which]).sum(1, keepdims=True) * normals[which]
         pc1 = centers[which] + 0.8 * local
-        flow = 0.1 * rng.randn(n_patches, 3).astype(np.float32)
+        flow = flow_scale * rng.randn(n_patches, 3).astype(np.float32)
         pc2 = pc1 + flow[which] + 0.01 * rng.randn(n, 3).astype(np.float32)
         out1.append(pc1)
         out2.append(pc2)

@@ -73,8 +73,9 @@ def corr_self(tap_negation: tuple,    # static: index of -offset per tap
               table_pad: jax.Array,   # (H1+1, C), row 0 zero sentinel
               indices: jax.Array,     # (Cc, H1) int32, -1 = absent
               k_self: jax.Array,      # (Cc, C, W)
+              bias: jax.Array,        # (W,) fused into the kernel epilogue
               ) -> jax.Array:
-    """sum_k table_pad[indices[k] + 1] @ k_self[k] -> (H1, W).
+    """sum_k table_pad[indices[k] + 1] @ k_self[k] + bias -> (H1, W).
 
     The patch-correlation self term as one fused stencil contraction (the
     Pallas kernel on TPU).  Its adjoint exploits the corr stencil's closure
@@ -90,15 +91,17 @@ def corr_self(tap_negation: tuple,    # static: index of -offset per tap
     degraded forward exactly.  Zero on realistic clouds; the driver warns
     when the counters are nonzero (train/driver.py overflow check).
     """
-    return _stencil(table_pad, indices, k_self)
+    return _stencil(table_pad, indices, k_self, bias=bias)
 
 
-def _corr_self_fwd(tap_negation, table_pad, indices, k_self):
-    return _stencil(table_pad, indices, k_self), (table_pad, indices, k_self)
+def _corr_self_fwd(tap_negation, table_pad, indices, k_self, bias):
+    return (_stencil(table_pad, indices, k_self, bias=bias),
+            (table_pad, indices, k_self))
 
 
 def _corr_self_bwd(tap_negation, res, g):                    # g: (H1, W)
     table_pad, indices, k_self = res
+    d_bias = g.astype(jnp.float32).sum(axis=0)
     c = table_pad.shape[1]
     gc = g.astype(table_pad.dtype)
     neg = jnp.asarray(tap_negation, dtype=jnp.int32)
@@ -118,7 +121,7 @@ def _corr_self_bwd(tap_negation, res, g):                    # g: (H1, W)
     # returns (Cc, C, W) = k_self's layout directly
     d_k = _dkernel(table_pad, indices, gc)
     return (d_table.astype(table_pad.dtype), None,
-            d_k.astype(k_self.dtype))
+            d_k.astype(k_self.dtype), d_bias)
 
 
 corr_self.defvjp(_corr_self_fwd, _corr_self_bwd)
@@ -295,7 +298,7 @@ class BilateralCorrelation(nn.Module):
         k_cross = corr_kernel[:, self_dim:, :].astype(dt)
 
         a_self = corr_self(self.corr_tap_negation, combined1,
-                           pc1_corr_indices, k_self) + corr_bias
+                           pc1_corr_indices, k_self, corr_bias)
 
         # fold the static (f, c) -> u inverse map into the cross kernel:
         # k2[u, :, f] = sum_{c : inverse[f, c] == u} k_cross[c]

@@ -514,3 +514,76 @@ def stencil_tap_tables_sum(tables: jax.Array,     # (H, F*C) tap-major columns
         **kwargs,
     )(starts, neighbors, tables)
     return jnp.sum(out, axis=0)[:hout]
+
+
+# ---------------------------------------------------------------------------
+# blocked rank-partial reduction (the splat/slice-adjoint partial stage)
+# ---------------------------------------------------------------------------
+
+def _rank_partial_kernel(meta_ref,   # (nb, B) VMEM (full): lrank | rid<<16
+                         g_ref,      # (BO*B, CR) VMEM block at (i, 0)
+                         out_ref,    # (BO*B, C_out) VMEM block at (i, 0)
+                         *, c, r, with_weights, bo):
+    i = pl.program_id(0)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1)
+    for k in range(bo):                              # static unroll
+        gb = g_ref[k * _BLOCK:(k + 1) * _BLOCK, :]   # (B, CR)
+        meta = meta_ref[i * bo + k, :]               # (B,)
+        lrank = meta & 0xFFFF
+        if r:
+            rid = meta >> 16
+            w = jnp.zeros((_BLOCK,), gb.dtype)
+            for q in range(r):                       # R is 4 (d+1)
+                w = jnp.where(rid == q, gb[:, c + q], w)
+            sv = gb[:, :c] * w[:, None]
+            if with_weights:
+                sv = jnp.concatenate([sv, w[:, None]], axis=1)
+        else:
+            sv = gb[:, :c]
+        onehot = (lrank[:, None] == iota_b).astype(sv.dtype)   # (B, B)
+        out_ref[k * _BLOCK:(k + 1) * _BLOCK, :] = jax.lax.dot_general(
+            onehot, sv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (B, C_out)
+
+
+def blocked_rank_partial(g: jax.Array,       # (M, C + R) sorted value stream
+                         meta: jax.Array,    # (M,) i32: lrank | rid << 16
+                         c: int,             # row width (C)
+                         r: int,             # weight lanes; 0 = plain rows
+                         with_weights: bool = False,
+                         *, interpret: bool = False) -> jax.Array:
+    """Per-128-block local-rank run sums of the sorted splat stream.
+
+    Fuses the weight-lane select, the weighted product, and the one-hot
+    rank matmul of ops/segment._reduce_sorted into one pass: the only HBM
+    traffic is the gathered stream in and the f32 partial out (the XLA form
+    materializes the one-hot blocks and the weighted stream separately).
+    Returns (M_pad, C_out) f32 with M_pad = ceil(M/128)*128 and
+    C_out = c + 1 if ``with_weights`` else c; rows beyond M are the padded
+    blocks' rank-0 sums of zero entries.
+    """
+    m, cr = g.shape
+    assert cr == c + r, (g.shape, c, r)
+    bo = 8                                   # 128-row blocks per program
+    step = bo * _BLOCK
+    mp = -(-m // step) * step
+    if mp != m:
+        g = jnp.concatenate([g, jnp.zeros((mp - m, cr), g.dtype)], axis=0)
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((mp - m,), jnp.int32)], axis=0)
+    c_out = c + 1 if with_weights else c
+    nb = mp // _BLOCK
+
+    out = pl.pallas_call(
+        functools.partial(_rank_partial_kernel, c=c, r=r,
+                          with_weights=with_weights, bo=bo),
+        grid=(mp // step,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((step, cr), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((step, c_out), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, c_out), jnp.float32),
+        interpret=interpret,
+    )(meta.reshape(nb, _BLOCK), g)
+    return out

@@ -140,6 +140,37 @@ def _forward(plan: ReducePlan, vals: jax.Array) -> jax.Array:
     return _reduce_sorted(plan, gathered).astype(vals.dtype)
 
 
+def _partial_blocks_xla(lrank: jax.Array, sorted_vals: jax.Array):
+    """(M, C) sorted stream -> (ceil(M/128)*128, C) f32 block partials."""
+    dt = sorted_vals.dtype
+    m, c = sorted_vals.shape
+    pad = (-m) % _BLOCK
+    if pad:
+        sorted_vals = jnp.concatenate(
+            [sorted_vals, jnp.zeros((pad, c), dt)], axis=0)
+        lrank = jnp.concatenate([lrank, jnp.zeros((pad,), jnp.int32)])
+    mp = sorted_vals.shape[0]
+    nb = mp // _BLOCK
+    blocks = sorted_vals.reshape(nb, _BLOCK, c)
+    onehot = (lrank.reshape(nb, _BLOCK)[:, :, None]
+              == jnp.arange(_BLOCK, dtype=jnp.int32)).astype(dt)
+    # f32 inputs need HIGHEST (bf16x6 passes) for exact products; bf16
+    # inputs are exact at single-pass default precision
+    prec = (jax.lax.Precision.DEFAULT if dt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    partial = jax.lax.dot_general(
+        onehot, blocks, (((1,), (1,)), ((0,), (0,))),
+        precision=prec, preferred_element_type=jnp.float32)     # (nb, B, C)
+    return partial.reshape(mp, c)
+
+
+def _use_pallas_partial(dt) -> bool:
+    # the Pallas pass is exact only where a single-pass MXU matmul is
+    # (bf16 one-hot entries are exactly representable); f32 streams keep
+    # the XLA HIGHEST-precision path
+    return jax.default_backend() == "tpu" and dt == jnp.bfloat16
+
+
 def _reduce_sorted(plan: ReducePlan, sorted_vals: jax.Array) -> jax.Array:
     """Exact blocked run sums via a local-rank one-hot MXU matmul.
 
@@ -158,32 +189,26 @@ def _reduce_sorted(plan: ReducePlan, sorted_vals: jax.Array) -> jax.Array:
     crossing blocks add their head/tail partials plus whole interior-block
     totals.  Everything is gathers and matmuls: no scatter, and no
     O(BLOCK^2) reduce-window cumsum (measured 0.94 ms per big splat).
+    On TPU with a bf16 stream the partial stage is one fused Pallas pass
+    (pallas_stencil.blocked_rank_partial).
     """
-    dt = sorted_vals.dtype
     m, c = sorted_vals.shape
-    pad = (-m) % _BLOCK
-    lrank = plan.lrank
-    if pad:
-        sorted_vals = jnp.concatenate(
-            [sorted_vals, jnp.zeros((pad, c), dt)], axis=0)
-        lrank = jnp.concatenate([lrank, jnp.zeros((pad,), jnp.int32)])
-    mp = sorted_vals.shape[0]
-    nb = mp // _BLOCK
-    blocks = sorted_vals.reshape(nb, _BLOCK, c)
-    onehot = (lrank.reshape(nb, _BLOCK)[:, :, None]
-              == jnp.arange(_BLOCK, dtype=jnp.int32)).astype(dt)
-    # f32 inputs need HIGHEST (bf16x6 passes) for exact products; bf16
-    # inputs are exact at single-pass default precision
-    prec = (jax.lax.Precision.DEFAULT if dt == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
-    partial = jax.lax.dot_general(
-        onehot, blocks, (((1,), (1,)), ((0,), (0,))),
-        precision=prec, preferred_element_type=jnp.float32)     # (nb, B, C)
-    partial_flat = partial.reshape(mp, c)
+    if _use_pallas_partial(sorted_vals.dtype):
+        from .pallas_stencil import blocked_rank_partial
+        partial_flat = blocked_rank_partial(sorted_vals, plan.lrank, c, 0)
+    else:
+        partial_flat = _partial_blocks_xla(plan.lrank, sorted_vals)
+    return _combine(plan, partial_flat, m)
+
+
+def _combine(plan: ReducePlan, partial_flat: jax.Array, m: int) -> jax.Array:
+    """Assemble per-target sums from the (M_pad, C) f32 block partials."""
+    c = partial_flat.shape[1]
+    nb = -(-m // _BLOCK)
     # rank-mode interior sums use the first-row column of each block
     csum0 = jnp.concatenate(
         [jnp.zeros((1, c), jnp.float32),
-         jnp.cumsum(partial[:, 0, :], axis=0)], axis=0)
+         jnp.cumsum(partial_flat[:nb * _BLOCK:_BLOCK], axis=0)], axis=0)
 
     t = plan.start.shape[0]
     if plan.r0.shape[0] > 1:
@@ -227,7 +252,10 @@ def _reduce_sorted(plan: ReducePlan, sorted_vals: jax.Array) -> jax.Array:
     # partial = block total, since each entry has exactly one local rank)
     csum = jnp.concatenate(
         [jnp.zeros((1, c), jnp.float32),
-         jnp.cumsum(jnp.sum(partial, axis=1), axis=0)], axis=0)
+         jnp.cumsum(jnp.sum(
+             partial_flat[:nb * _BLOCK].reshape(nb, _BLOCK, c), axis=1),
+             axis=0)], axis=0)
+    lrank = plan.lrank
     start, end = plan.start, plan.end
     empty = start >= end
     s = jnp.where(empty, 0, start)
@@ -294,12 +322,23 @@ def _wr_forward(with_weights, plan, rows, weights):
     # weight column is then selected with a one-hot over the R lanes.
     cat = jnp.concatenate([rows, weights.astype(dt)], axis=1)   # (N, C+R)
     g = cat[pid]                                                # (M, C+R)
-    w = jnp.sum(g[:, c:] * (rid[:, None] == jnp.arange(r, dtype=jnp.int32))
-                .astype(dt), axis=1)
-    sv = g[:, :c] * w[:, None]
-    if with_weights:
-        sv = jnp.concatenate([sv, w[:, None]], axis=1)
-    return _reduce_sorted(plan, sv)
+    m = g.shape[0]
+    if _use_pallas_partial(dt):
+        # one Pallas pass fuses the weight-lane select, the product and
+        # the one-hot rank matmul — HBM sees only the gathered stream in
+        # and the f32 partials out
+        from .pallas_stencil import blocked_rank_partial
+        meta = plan.lrank | (rid << 16)
+        partial_flat = blocked_rank_partial(g, meta, c, r, with_weights)
+    else:
+        w = jnp.sum(g[:, c:] * (rid[:, None]
+                                == jnp.arange(r, dtype=jnp.int32))
+                    .astype(dt), axis=1)
+        sv = g[:, :c] * w[:, None]
+        if with_weights:
+            sv = jnp.concatenate([sv, w[:, None]], axis=1)
+        partial_flat = _partial_blocks_xla(plan.lrank, sv)
+    return _combine(plan, partial_flat, m)
 
 
 def _wr_fwd(with_weights, plan, rows, weights):

@@ -262,7 +262,7 @@ def test_corr_self_forward_and_grads():
         return jnp.einsum("khc,kcw->hw", p[idx + 1], k)
 
     def ours(p, k):
-        return corr_self(NEG15, p, idx, k)
+        return corr_self(NEG15, p, idx, k, jnp.zeros(k.shape[-1]))
 
     np.testing.assert_allclose(np.asarray(ours(pad1, k_self)),
                                np.asarray(ref(pad1, k_self)), atol=1e-4)

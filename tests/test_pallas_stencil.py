@@ -151,3 +151,47 @@ def test_stencil_tap_tables_sum_matches_gather_sum():
         ok = nb[k] >= 0
         want[ok] += tables[nb[k][ok], k * c:(k + 1) * c]
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_blocked_rank_partial_matches_xla_stage():
+    """The fused splat partial-stage kernel == the XLA one-hot matmul."""
+    from hplflownet_tpu.ops.pallas_stencil import blocked_rank_partial
+    from hplflownet_tpu.ops.segment import (_partial_blocks_xla, local_ranks,
+                                            _BLOCK)
+
+    rng = np.random.RandomState(6)
+    n, c, r = 700, 20, 4
+    m = n * r
+    rows = rng.randn(n, c).astype(np.float32)
+    weights = rng.rand(n, r).astype(np.float32)
+    perm = rng.permutation(m).astype(np.int32)
+    same = rng.rand(m) < 0.6
+    same[0] = False
+    lrank = np.asarray(local_ranks(jnp.asarray(same)))
+    pid, rid = perm // r, perm % r
+
+    cat = np.concatenate([rows, weights], axis=1)
+    g = cat[pid]
+    w = weights[pid, rid]
+    for with_w in (False, True):
+        sv = g[:, :c] * w[:, None]
+        if with_w:
+            sv = np.concatenate([sv, w[:, None]], axis=1)
+        want = np.asarray(_partial_blocks_xla(jnp.asarray(lrank),
+                                              jnp.asarray(sv)))
+        meta = (lrank | (rid << 16)).astype(np.int32)
+        got = np.asarray(jax.jit(
+            lambda gg, mm: blocked_rank_partial(gg, mm, c, r, with_w,
+                                                interpret=True)
+        )(g, meta))
+        np.testing.assert_allclose(got[:want.shape[0]], want, atol=1e-4)
+        np.testing.assert_allclose(got[want.shape[0]:], 0.0, atol=0)
+
+    # plain-rows mode (r=0): partials of the stream itself
+    want = np.asarray(_partial_blocks_xla(jnp.asarray(lrank),
+                                          jnp.asarray(g)))
+    got = np.asarray(jax.jit(
+        lambda gg, mm: blocked_rank_partial(gg, mm, c + r, 0,
+                                            interpret=True)
+    )(g, jnp.asarray(lrank)))
+    np.testing.assert_allclose(got[:want.shape[0]], want, atol=1e-4)

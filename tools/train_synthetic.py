@@ -32,40 +32,61 @@ VAL_PAIRS = 64
 
 
 def make_dataset(n_pairs, n_points, seed):
-    """Pairs with patchwise flows: the task is recover sf from (pc1, pc2)."""
-    pc1, pc2 = synthetic_frustum_clouds(n_pairs, n_points, seed=seed)
+    """Pairs with patchwise flows: the task is recover sf from (pc1, pc2).
+
+    flow_scale 1.0 puts the motion around one lattice cell at the finest
+    scale — sub-cell flows (the bench default 0.1) are invisible to the
+    correlation's displacement taps and the learnable optimum degenerates
+    to predicting zero flow (EPE plateau at 0.1 * E||N(0,I3)|| = 0.16).
+    """
+    pc1, pc2 = synthetic_frustum_clouds(n_pairs, n_points, seed=seed,
+                                        flow_scale=1.0)
     return pc1, pc2, pc2 - pc1
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--eval-every", type=int, default=250)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    # reference trains Adam at 1e-4 (main.py:138-140); 1e-3 measurably
+    # traps this model at the predict-zero saddle (flat EPE for 2000
+    # steps, learning starts the moment the rate decays under ~3e-4)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    # same code path either way; "cpu" gives learnability evidence when
+    # the axon tunnel is down (site config ignores JAX_PLATFORMS=cpu env)
+    ap.add_argument("--platform", default=None,
+                    choices=(None, "cpu", "tpu"))
     args = ap.parse_args()
 
     import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from hplflownet_tpu.models import HPLFlowNetShallow
     from hplflownet_tpu.pipeline import make_lattice_spec
     from hplflownet_tpu.lattice import build_pyramid
-    from hplflownet_tpu.train.step import make_train_step, make_eval_step
+    from hplflownet_tpu.train.step import (make_train_step, make_eval_step,
+                                           set_learning_rate)
 
     tr1, tr2, trf = make_dataset(TRAIN_PAIRS, NUM_POINTS, seed=100)
     va1, va2, vaf = make_dataset(VAL_PAIRS, NUM_POINTS, seed=999)
 
-    # capacities: measured on this distribution, padded (zero overflow
-    # asserted per-step via the train step's counter)
-    spec = make_lattice_spec(SFM5, capacities=[4096, 2048, 768, 256, 128])
+    # capacities: measured worst counts on this distribution over both
+    # splits (2853/2186/644/202/87), padded 1.2x and 128-aligned; the
+    # per-step overflow counter in the log confirms zero degradation
+    spec = make_lattice_spec(SFM5, capacities=[3456, 2688, 896, 256, 128])
     model = HPLFlowNetShallow(scales_filter_map=SFM5,
                               compute_dtype="bfloat16")
 
     ones = jnp.ones((1, NUM_POINTS), bool)
-    scales = build_pyramid(spec, jnp.asarray(tr1[0]), jnp.asarray(tr2[0]))
-    params = model.init(jax.random.PRNGKey(0), jnp.asarray(tr1[0]),
-                        jnp.asarray(tr2[0]), scales)
+    # jitted setup: eager op-by-op dispatch through the axon tunnel is
+    # pathologically slow (see __graft_entry__.entry)
+    scales = jax.jit(lambda a, b: build_pyramid(spec, a, b))(
+        jnp.asarray(tr1[0]), jnp.asarray(tr2[0]))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(tr1[0]),
+                                 jnp.asarray(tr2[0]), scales)
     init_state, train_step = make_train_step(model, spec,
                                              learning_rate=args.lr)
     eval_step = make_eval_step(model, spec)
@@ -101,6 +122,12 @@ def main():
             _log(f"train compile {time.time() - t0:.0f}s")
             t0 = time.time()
         overflow_total += int(oflow)
+        if step in (3 * args.steps // 5, 4 * args.steps // 5):
+            # piecewise decay keeps the tail converging (reference trains
+            # with a piecewise-decaying schedule, main.py:156)
+            state = set_learning_rate(
+                state, args.lr * (0.3 if step == 3 * args.steps // 5
+                                  else 0.1))
         if step % args.eval_every == 0:
             epe = val_epe(state.params)
             rate = args.eval_every / max(time.time() - t0, 1e-9)
