@@ -44,6 +44,41 @@ def make_dataset(n_pairs, n_points, seed):
     return pc1, pc2, pc2 - pc1
 
 
+def resample_overflowing(spec, pc1, pc2, seed):
+    """Replace pairs whose lattice build degrades (any overflow counter).
+
+    Mirrors the dataset layer's degenerate-sample resampling
+    (data/datasets.py): static capacities + probe/stencil windows are
+    budgets, and inputs that bust them are detected (counted, never
+    silently wrong) and resampled here so the training evidence carries
+    zero degradation.  ~1 in 600 synthetic pairs trips the scale-1 probe
+    window at flow_scale 1.0.
+    """
+    import jax
+    import jax.numpy as jnp
+    from hplflownet_tpu.lattice import build_pyramid
+
+    @jax.jit
+    def overflow(a, b):
+        scales = build_pyramid(spec, a, b)
+        return sum(sp.pc1_overflow + sp.pc2_overflow + sp.probe_overflow
+                   + sp.stencil_overflow for sp in scales)
+
+    n, pts = pc1.shape[0], pc1.shape[1]
+    replaced = 0
+    for i in range(n):
+        draw = 0
+        while int(overflow(jnp.asarray(pc1[i]), jnp.asarray(pc2[i]))):
+            draw += 1
+            a, b = synthetic_frustum_clouds(
+                1, pts, seed=seed + 7919 * (i + 1) + draw, flow_scale=1.0)
+            pc1[i], pc2[i] = a[0], b[0]
+            replaced += 1
+    if replaced:
+        _log(f"resampled {replaced} overflowing pair(s)")
+    return pc1, pc2, pc2 - pc1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6000)
@@ -56,6 +91,8 @@ def main():
     # the axon tunnel is down (site config ignores JAX_PLATFORMS=cpu env)
     ap.add_argument("--platform", default=None,
                     choices=(None, "cpu", "tpu"))
+    ap.add_argument("--out", default=
+                    "/root/repo/training_runs/synthetic_curve.json")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +114,8 @@ def main():
     # splits (2853/2186/644/202/87), padded 1.2x and 128-aligned; the
     # per-step overflow counter in the log confirms zero degradation
     spec = make_lattice_spec(SFM5, capacities=[3456, 2688, 896, 256, 128])
+    tr1, tr2, trf = resample_overflowing(spec, tr1, tr2, seed=100)
+    va1, va2, vaf = resample_overflowing(spec, va1, va2, seed=999)
     model = HPLFlowNetShallow(scales_filter_map=SFM5,
                               compute_dtype="bfloat16")
 
@@ -139,7 +178,8 @@ def main():
 
     os.makedirs("/root/repo/training_runs", exist_ok=True)
     out = {
-        "model": "HPLFlowNetShallow", "points": NUM_POINTS,
+        "model": "HPLFlowNetShallow", "platform": jax.default_backend(),
+        "points": NUM_POINTS,
         "train_pairs": TRAIN_PAIRS, "val_pairs": VAL_PAIRS,
         "lr": args.lr, "steps": args.steps,
         "overflow_total": overflow_total,
@@ -148,7 +188,7 @@ def main():
         "final_over_initial": curve[-1]["val_epe3d"] / epe0,
         "curve": curve,
     }
-    path = "/root/repo/training_runs/synthetic_curve.json"
+    path = args.out
     with open(path, "w") as fd:
         json.dump(out, fd, indent=1)
     print(json.dumps({k: out[k] for k in
