@@ -39,19 +39,24 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def synthetic_frustum_clouds(batch, n, seed=0, flow_scale=0.1):
+def synthetic_frustum_clouds(batch, n, seed=0, flow_scale=0.1, patches=300):
     """FT3D-like clouds: points on surfaces inside a 35 m camera frustum.
 
     ``flow_scale`` is the per-axis std of the patchwise rigid motion; the
     learnability harness (tools/train_synthetic.py) uses ~1.0 (around one
     lattice cell at its finest scale — sub-cell flows are invisible to the
     correlation's displacement taps), while the bench keeps the default.
+    ``patches`` sets the number of independently-moving planar patches:
+    300 (the bench default) gives FT3D-like *surface density* but a
+    spatially incoherent flow field (~3 pts/patch at n=1024); the harness
+    uses a handful so motion is piecewise-rigid over object-sized regions
+    like real scene flow.
     """
     rng = np.random.RandomState(seed)
     out1, out2 = [], []
     for b in range(batch):
-        # a few hundred planar patches to mimic surface structure
-        n_patches = 300
+        # planar patches to mimic surface structure
+        n_patches = patches
         centers = np.stack([
             rng.uniform(-15, 15, n_patches),
             rng.uniform(-8, 8, n_patches),

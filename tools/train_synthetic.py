@@ -31,20 +31,25 @@ TRAIN_PAIRS = 512
 VAL_PAIRS = 64
 
 
-def make_dataset(n_pairs, n_points, seed):
+def make_dataset(n_pairs, n_points, seed, patches=300):
     """Pairs with patchwise flows: the task is recover sf from (pc1, pc2).
 
     flow_scale 1.0 puts the motion around one lattice cell at the finest
     scale — sub-cell flows (the bench default 0.1) are invisible to the
     correlation's displacement taps and the learnable optimum degenerates
     to predicting zero flow (EPE plateau at 0.1 * E||N(0,I3)|| = 0.16).
+    ``patches`` controls flow coherence: at the bench's 300 patches and
+    1024 points each independently-moving patch has ~3 points — a nearly
+    pointwise correspondence problem no scene-flow net solves; a dozen
+    patches gives piecewise-rigid motion over object-sized regions like
+    FT3D/KITTI.
     """
     pc1, pc2 = synthetic_frustum_clouds(n_pairs, n_points, seed=seed,
-                                        flow_scale=1.0)
+                                        flow_scale=1.0, patches=patches)
     return pc1, pc2, pc2 - pc1
 
 
-def resample_overflowing(spec, pc1, pc2, seed):
+def resample_overflowing(spec, pc1, pc2, seed, patches=300):
     """Replace pairs whose lattice build degrades (any overflow counter).
 
     Mirrors the dataset layer's degenerate-sample resampling
@@ -71,7 +76,8 @@ def resample_overflowing(spec, pc1, pc2, seed):
         while int(overflow(jnp.asarray(pc1[i]), jnp.asarray(pc2[i]))):
             draw += 1
             a, b = synthetic_frustum_clouds(
-                1, pts, seed=seed + 7919 * (i + 1) + draw, flow_scale=1.0)
+                1, pts, seed=seed + 7919 * (i + 1) + draw, flow_scale=1.0,
+                patches=patches)
             pc1[i], pc2[i] = a[0], b[0]
             replaced += 1
     if replaced:
@@ -93,6 +99,12 @@ def main():
                     choices=(None, "cpu", "tpu"))
     ap.add_argument("--out", default=
                     "/root/repo/training_runs/synthetic_curve.json")
+    # piecewise = the reference's decay style (main.py:156); cosine adds a
+    # linear warmup + cosine floor for the longer TPU runs
+    ap.add_argument("--schedule", default="piecewise",
+                    choices=("piecewise", "cosine"))
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--patches", type=int, default=300)
     args = ap.parse_args()
 
     import jax
@@ -107,15 +119,19 @@ def main():
     from hplflownet_tpu.train.step import (make_train_step, make_eval_step,
                                            set_learning_rate)
 
-    tr1, tr2, trf = make_dataset(TRAIN_PAIRS, NUM_POINTS, seed=100)
-    va1, va2, vaf = make_dataset(VAL_PAIRS, NUM_POINTS, seed=999)
+    tr1, tr2, trf = make_dataset(TRAIN_PAIRS, NUM_POINTS, seed=100,
+                                 patches=args.patches)
+    va1, va2, vaf = make_dataset(VAL_PAIRS, NUM_POINTS, seed=999,
+                                 patches=args.patches)
 
     # capacities: measured worst counts on this distribution over both
     # splits (2853/2186/644/202/87), padded 1.2x and 128-aligned; the
     # per-step overflow counter in the log confirms zero degradation
     spec = make_lattice_spec(SFM5, capacities=[3456, 2688, 896, 256, 128])
-    tr1, tr2, trf = resample_overflowing(spec, tr1, tr2, seed=100)
-    va1, va2, vaf = resample_overflowing(spec, va1, va2, seed=999)
+    tr1, tr2, trf = resample_overflowing(spec, tr1, tr2, seed=100,
+                                         patches=args.patches)
+    va1, va2, vaf = resample_overflowing(spec, va1, va2, seed=999,
+                                         patches=args.patches)
     model = HPLFlowNetShallow(scales_filter_map=SFM5,
                               compute_dtype="bfloat16")
 
@@ -161,7 +177,14 @@ def main():
             _log(f"train compile {time.time() - t0:.0f}s")
             t0 = time.time()
         overflow_total += int(oflow)
-        if step in (3 * args.steps // 5, 4 * args.steps // 5):
+        if args.schedule == "cosine":
+            t = min(1.0, step / args.warmup)
+            frac = max(0.0, (step - args.warmup)
+                       / max(args.steps - args.warmup, 1))
+            lr = args.lr * t * (0.05 + 0.95 * 0.5
+                                * (1 + np.cos(np.pi * frac)))
+            state = set_learning_rate(state, float(lr))
+        elif step in (3 * args.steps // 5, 4 * args.steps // 5):
             # piecewise decay keeps the tail converging (reference trains
             # with a piecewise-decaying schedule, main.py:156)
             state = set_learning_rate(
@@ -181,7 +204,8 @@ def main():
         "model": "HPLFlowNetShallow", "platform": jax.default_backend(),
         "points": NUM_POINTS,
         "train_pairs": TRAIN_PAIRS, "val_pairs": VAL_PAIRS,
-        "lr": args.lr, "steps": args.steps,
+        "lr": args.lr, "steps": args.steps, "patches": args.patches,
+        "schedule": args.schedule,
         "overflow_total": overflow_total,
         "initial_val_epe3d": epe0,
         "final_val_epe3d": curve[-1]["val_epe3d"],
