@@ -75,6 +75,13 @@ def resample_overflowing(spec, pc1, pc2, seed, patches=300):
         draw = 0
         while int(overflow(jnp.asarray(pc1[i]), jnp.asarray(pc2[i]))):
             draw += 1
+            if draw > 20:
+                # every redraw busts the budget too: the capacities are
+                # wrong for the distribution, not the pair — re-measure
+                raise RuntimeError(
+                    f"pair {i}: 20 redraws all overflow the lattice "
+                    "budgets; capacities/windows too small for this "
+                    "distribution")
             a, b = synthetic_frustum_clouds(
                 1, pts, seed=seed + 7919 * (i + 1) + draw, flow_scale=1.0,
                 patches=patches)
