@@ -256,7 +256,11 @@ def test_full_forward_matches_numpy_oracle():
     n = 64
     pc1 = (rng.randn(n, 3) * 2.0).astype(np.float32)
     pc2 = pc1 + 0.05 * rng.randn(n, 3).astype(np.float32)
-    caps = [320, 320, 320, 256, 192, 128, 128]
+    # measured oracle vertex counts for this cloud: 252/521/366/156/65/32/28
+    # (the count GROWS from scale 3.0 to 2.0 — each of the 252 scale-0
+    # vertices splats into 4 simplex corners of the 2/3-ratio lattice
+    # before coarser scales collapse it), padded to the next 64
+    caps = [320, 576, 448, 192, 128, 64, 64]
     spec = LatticeSpec(d=3, scales=tuple(
         ScaleSpec(s, b, f, c, capacity=cap)
         for (s, b, f, c), cap in zip(SFM7, caps)))
