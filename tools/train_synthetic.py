@@ -112,6 +112,10 @@ def main():
                     choices=("piecewise", "cosine"))
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--patches", type=int, default=300)
+    # chunked long runs: --save-params at the end, --init-params to resume
+    # (fresh Adam state; fine for the proof-of-life curves)
+    ap.add_argument("--save-params", default=None)
+    ap.add_argument("--init-params", default=None)
     args = ap.parse_args()
 
     import jax
@@ -149,6 +153,12 @@ def main():
         jnp.asarray(tr1[0]), jnp.asarray(tr2[0]))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(tr1[0]),
                                  jnp.asarray(tr2[0]), scales)
+    if args.init_params:
+        import pickle
+        with open(args.init_params, "rb") as fd:
+            loaded = pickle.load(fd)
+        params = jax.tree_util.tree_map(jnp.asarray, loaded)
+        _log(f"resumed params from {args.init_params}")
     init_state, train_step = make_train_step(model, spec,
                                              learning_rate=args.lr)
     eval_step = make_eval_step(model, spec)
@@ -219,6 +229,11 @@ def main():
         "final_over_initial": curve[-1]["val_epe3d"] / epe0,
         "curve": curve,
     }
+    if args.save_params:
+        import pickle
+        with open(args.save_params, "wb") as fd:
+            pickle.dump(jax.tree_util.tree_map(np.asarray, state.params), fd)
+        _log(f"params saved to {args.save_params}")
     path = args.out
     with open(path, "w") as fd:
         json.dump(out, fd, indent=1)
