@@ -72,7 +72,8 @@ def build_everything(args, logger):
     dataset_cls = DATASETS[args.dataset]
     num_points = args.num_points
 
-    ds_kwargs = dict(num_points=num_points, data_root=args.data_root)
+    ds_kwargs = dict(num_points=num_points, data_root=args.data_root,
+                     strict=bool(args.get_or("strict", True)))
     if args.dataset == "KITTI":
         ds_kwargs["remove_ground"] = bool(args.get_or("remove_ground", True))
     if args.dataset == "FlyingThings3DSubset":
@@ -200,6 +201,10 @@ def evaluate(args, model, spec, params, val_loader, logger,
 
 def run(args):
     """Entry: train or evaluate per the config (reference main.py:26-200)."""
+    if args.get_or("platform", None):
+        # e.g. "cpu": lets a subprocess CLI run force the backend (the site
+        # config presets jax_platforms=axon,cpu, overriding JAX_PLATFORMS)
+        jax.config.update("jax_platforms", args.platform)
     if args.get_or("matmul_precision", "default") != "default":
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)

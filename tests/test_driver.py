@@ -3,10 +3,14 @@ synthetic FlyingThings3D-style dataset written to disk."""
 
 import os
 import os.path as osp
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 import yaml
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 from hplflownet_tpu.utils.config import parse_args_from_yaml
 from hplflownet_tpu.train.driver import run
@@ -76,22 +80,8 @@ def fake_data(tmp_path_factory):
     return root
 
 
-def _patch_strict(monkeypatch):
-    # the real dataset asserts 19640/3824 dirs; relax for the fixture
-    from hplflownet_tpu.data import datasets
-
-    orig = datasets.FlyingThings3DSubset.__init__
-
-    def patched(self, *a, **kw):
-        kw["strict"] = False
-        return orig(self, *a, **kw)
-
-    monkeypatch.setattr(datasets.FlyingThings3DSubset, "__init__", patched)
-
-
 @pytest.mark.slow
-def test_train_then_evaluate_roundtrip(fake_data, tmp_path, monkeypatch):
-    _patch_strict(monkeypatch)
+def test_train_then_evaluate_roundtrip(fake_data, tmp_path):
     cfg = base_config(fake_data)
     cfg["ckpt_dir"] = str(tmp_path / "ckpt")
     cfg_path = tmp_path / "train.yaml"
@@ -122,10 +112,48 @@ def test_train_then_evaluate_roundtrip(fake_data, tmp_path, monkeypatch):
     assert any(f.startswith("output_") for f in dumped)
 
 
-def test_ckpt_dir_overwrite_guard(fake_data, tmp_path, monkeypatch):
+@pytest.mark.slow
+def test_real_cli_train_then_evaluate(fake_data, tmp_path):
+    """Drive the actual ``python main.py <cfg>`` CLI in a subprocess —
+    train -> checkpoint -> evaluate on the on-disk FT3D-format fixture
+    (reference UX: main.py:289, README.md:54).  Catches path/layout/config
+    drift the in-process tests can't."""
+    cfg = base_config(fake_data)
+    cfg["ckpt_dir"] = str(tmp_path / "ckpt_cli")
+    cfg["platform"] = "cpu"  # subprocess can't use conftest's jax.config
+    cfg_path = tmp_path / "train_cli.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, osp.join(REPO, "main.py"), str(cfg_path)],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    log = (tmp_path / "ckpt_cli" / "log").read_text()
+    assert "Train EPE3D" in log and "Val EPE3D" in log
+    assert osp.isdir(osp.join(cfg["ckpt_dir"], "model_best"))
+
+    eval_cfg = dict(cfg)
+    eval_cfg["evaluate"] = True
+    eval_cfg["resume"] = cfg["ckpt_dir"]
+    eval_path = tmp_path / "eval_cli.yaml"
+    eval_path.write_text(yaml.safe_dump(eval_cfg))
+    proc = subprocess.run(
+        [sys.executable, osp.join(REPO, "main.py"), str(eval_path)],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    log = (tmp_path / "ckpt_cli" / "log").read_text()
+    # the final metrics line must be present with finite values
+    lines = [ln for ln in log.splitlines() if ln.startswith(" * EPE3D")]
+    assert lines, log[-2000:]
+    vals = [float(tok) for tok in lines[-1].replace("\t", " ").split()
+            if tok.replace(".", "").replace("-", "").isdigit()]
+    assert vals and all(np.isfinite(v) for v in vals), lines[-1]
+
+
+def test_ckpt_dir_overwrite_guard(fake_data, tmp_path):
     """Existing ckpt_dir + non-tty stdin must abort unless force_overwrite
     (reference prompts interactively, main.py:36-41)."""
-    _patch_strict(monkeypatch)
     cfg = base_config(fake_data)
     ckpt_dir = tmp_path / "existing"
     ckpt_dir.mkdir()

@@ -189,6 +189,28 @@ except RuntimeError:
     assert "RAISED" in out.stdout
 
 
+@pytest.mark.slow
+def test_driver_dryrun_multichip_under_deadline():
+    """The driver's 8-device dryrun must finish inside its ~540 s window.
+
+    Round 3 regressed this silently (eager setup + uncached GSPMD compile
+    blew the budget; then the 1-core host tripped XLA's 40 s collective-
+    rendezvous termination).  Fresh subprocess exactly like the driver runs
+    it; the persistent compile cache keeps repeats fast."""
+    import subprocess
+    import sys
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from __graft_entry__ import dryrun_multichip
+dryrun_multichip(8)
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=540)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "dryrun_multichip ok" in out.stdout, out.stdout[-2000:]
+
+
 def test_distributed_helpers_single_process():
     """Multi-host helpers degrade cleanly to the single-process 8-CPU mesh."""
     from hplflownet_tpu.parallel import (

@@ -116,6 +116,11 @@ def main():
     # (fresh Adam state; fine for the proof-of-life curves)
     ap.add_argument("--save-params", default=None)
     ap.add_argument("--init-params", default=None)
+    # gradient-quality probe: train AND eval on the same N pairs; a healthy
+    # training stack drives EPE to ~0 (memorization), any failure to do so
+    # indicates a gradient defect rather than a task ceiling
+    ap.add_argument("--overfit", type=int, default=0, metavar="N_PAIRS")
+    ap.add_argument("--num-points", type=int, default=NUM_POINTS)
     args = ap.parse_args()
 
     import jax
@@ -130,23 +135,36 @@ def main():
     from hplflownet_tpu.train.step import (make_train_step, make_eval_step,
                                            set_learning_rate)
 
-    tr1, tr2, trf = make_dataset(TRAIN_PAIRS, NUM_POINTS, seed=100,
-                                 patches=args.patches)
-    va1, va2, vaf = make_dataset(VAL_PAIRS, NUM_POINTS, seed=999,
+    n_pts = args.num_points
+    n_train = args.overfit or TRAIN_PAIRS
+    tr1, tr2, trf = make_dataset(n_train, n_pts, seed=100,
                                  patches=args.patches)
 
     # capacities: measured worst counts on this distribution over both
-    # splits (2853/2186/644/202/87), padded 1.2x and 128-aligned; the
+    # splits at 1024 points (2853/2186/644/202/87), padded 1.2x and
+    # 128-aligned; scaled proportionally for other point counts (vertex
+    # count grows ~linearly in points on these surface clouds); the
     # per-step overflow counter in the log confirms zero degradation
-    spec = make_lattice_spec(SFM5, capacities=[3456, 2688, 896, 256, 128])
+    base_caps = [3456, 2688, 896, 256, 128]
+    caps = [max(128, -(-int(c * n_pts / NUM_POINTS) // 128) * 128)
+            for c in base_caps]
+    spec = make_lattice_spec(SFM5, capacities=caps)
     tr1, tr2, trf = resample_overflowing(spec, tr1, tr2, seed=100,
                                          patches=args.patches)
-    va1, va2, vaf = resample_overflowing(spec, va1, va2, seed=999,
-                                         patches=args.patches)
+    if args.overfit:
+        # memorization probe: evaluate on the training pairs themselves
+        va1, va2, vaf = tr1, tr2, trf
+        n_val = n_train
+    else:
+        va1, va2, vaf = make_dataset(VAL_PAIRS, n_pts, seed=999,
+                                     patches=args.patches)
+        va1, va2, vaf = resample_overflowing(spec, va1, va2, seed=999,
+                                             patches=args.patches)
+        n_val = VAL_PAIRS
     model = HPLFlowNetShallow(scales_filter_map=SFM5,
                               compute_dtype="bfloat16")
 
-    ones = jnp.ones((1, NUM_POINTS), bool)
+    ones = jnp.ones((1, n_pts), bool)
     # jitted setup: eager op-by-op dispatch through the axon tunnel is
     # pathologically slow (see __graft_entry__.entry)
     scales = jax.jit(lambda a, b: build_pyramid(spec, a, b))(
@@ -171,10 +189,10 @@ def main():
 
     def val_epe(params):
         tot = 0.0
-        for i in range(VAL_PAIRS):
+        for i in range(n_val):
             loss, _ = eval_step(params, batch_of(va1, va2, vaf, i))
             tot += float(loss)
-        return tot / VAL_PAIRS
+        return tot / n_val
 
     t0 = time.time()
     epe0 = val_epe(state.params)
@@ -183,11 +201,11 @@ def main():
     curve = [{"step": 0, "val_epe3d": epe0}]
 
     rng = np.random.RandomState(0)
-    order = rng.permutation(TRAIN_PAIRS)
+    order = rng.permutation(n_train)
     t0 = time.time()
     overflow_total = 0
     for step in range(1, args.steps + 1):
-        i = int(order[step % TRAIN_PAIRS])
+        i = int(order[step % n_train])
         state, loss, oflow = train_step.with_overflow(
             state, batch_of(tr1, tr2, trf, i))
         if step == 1:
@@ -219,8 +237,8 @@ def main():
     os.makedirs("/root/repo/training_runs", exist_ok=True)
     out = {
         "model": "HPLFlowNetShallow", "platform": jax.default_backend(),
-        "points": NUM_POINTS,
-        "train_pairs": TRAIN_PAIRS, "val_pairs": VAL_PAIRS,
+        "points": n_pts, "overfit": bool(args.overfit),
+        "train_pairs": n_train, "val_pairs": n_val,
         "lr": args.lr, "steps": args.steps, "patches": args.patches,
         "schedule": args.schedule,
         "overflow_total": overflow_total,
