@@ -181,25 +181,28 @@ class HPLFlowNet(nn.Module):
         # decoder with skip concats (HPLFlowNet.py:372-423); blur happens on
         # scale s's lattice, slice lands on scale s's points (= scale s-1's
         # vertices)
+        # emg1 casts to the compute dtype so these wide concats don't promote
+        # their (bf16) feature inputs into f32 intermediates — BilateralConv
+        # re-casts to dt first thing, so the rounding is identical either way
         out = up(self.bcn7_back, _concat(corr_out5, pc1_out7),
                  scales[6], scales[6])
         out = up(self.bcn6_back,
-                 _concat(scales[6].pc1_el_minus_gr, out, corr_out4, pc1_out6),
+                 _concat(emg1(scales[6]), out, corr_out4, pc1_out6),
                  scales[5], scales[5])
         out = up(self.bcn5_back,
-                 _concat(scales[5].pc1_el_minus_gr, out, corr_out3, pc1_out5),
+                 _concat(emg1(scales[5]), out, corr_out3, pc1_out5),
                  scales[4], scales[4])
         out = up(self.bcn4_back,
-                 _concat(scales[4].pc1_el_minus_gr, out, corr_out2, pc1_out4),
+                 _concat(emg1(scales[4]), out, corr_out2, pc1_out4),
                  scales[3], scales[3])
         out = up(self.bcn3_back,
-                 _concat(scales[3].pc1_el_minus_gr, out, corr_out1, pc1_out3),
+                 _concat(emg1(scales[3]), out, corr_out1, pc1_out3),
                  scales[2], scales[2])
         out = up(self.bcn2_back,
-                 _concat(scales[2].pc1_el_minus_gr, out, pc1_out2),
+                 _concat(emg1(scales[2]), out, pc1_out2),
                  scales[1], scales[1])
         out = up(self.bcn1_back,
-                 _concat(scales[1].pc1_el_minus_gr, out, pc1_out1),
+                 _concat(emg1(scales[1]), out, pc1_out1),
                  scales[0], scales[0])
 
         res = self.conv2(out)

@@ -95,15 +95,22 @@ class HPLFlowNetShallow(nn.Module):
                               compute_dtype=self.compute_dtype, name="conv4")
 
     def __call__(self, pc1: jax.Array, pc2: jax.Array, scales) -> jax.Array:
+        # cast builder f32 data once so concats with (bf16) features don't
+        # promote to f32 intermediates; BilateralConv re-casts to dt anyway
+        dt = jnp.dtype(self.compute_dtype)
+
+        def emg1(sp):
+            return sp.pc1_el_minus_gr.astype(dt)
+
         feat1 = self.conv1(pc1)
         feat2 = self.conv1(pc2)
 
         def down(bcn_mod, sp, f1, f2):
-            o1 = bcn_mod(_concat(sp.pc1_el_minus_gr, f1),
+            o1 = bcn_mod(_concat(emg1(sp), f1),
                          in_barycentric=sp.pc1_barycentric,
                          splat_plan=sp.pc1_splat_plan,
                          blur_neighbors=sp.pc1_blur_neighbors)
-            o2 = bcn_mod(_concat(sp.pc2_el_minus_gr, f2),
+            o2 = bcn_mod(_concat(sp.pc2_el_minus_gr.astype(dt), f2),
                          in_barycentric=sp.pc2_barycentric,
                          splat_plan=sp.pc2_splat_plan,
                          blur_neighbors=sp.pc2_blur_neighbors)
@@ -126,13 +133,13 @@ class HPLFlowNetShallow(nn.Module):
         corr_out1 = correlate(self.corr1, scales[2], pc1_out3, pc2_out3, None)
         # refine on the *next* scale's el_minus_gr (reference :220)
         corr_out1 = self.corr1_refine(
-            _concat(scales[3].pc1_el_minus_gr, corr_out1))
+            _concat(emg1(scales[3]), corr_out1))
 
         pc1_out4, pc2_out4 = down(self.bcn4, scales[3], pc1_out3, pc2_out3)
         corr_out2 = correlate(self.corr2, scales[3], pc1_out4, pc2_out4,
                               corr_out1)
         corr_out2 = self.corr2_refine(
-            _concat(scales[4].pc1_el_minus_gr, corr_out2))
+            _concat(emg1(scales[4]), corr_out2))
 
         pc1_out5, pc2_out5 = down(self.bcn5, scales[4], pc1_out4, pc2_out4)
         corr_out3 = correlate(self.corr3, scales[4], pc1_out5, pc2_out5,
@@ -149,16 +156,16 @@ class HPLFlowNetShallow(nn.Module):
         out = up(self.bcn5_back, _concat(corr_out3, pc1_out5),
                  scales[4], scales[4])
         out = up(self.bcn4_back,
-                 _concat(scales[4].pc1_el_minus_gr, out, corr_out2, pc1_out4),
+                 _concat(emg1(scales[4]), out, corr_out2, pc1_out4),
                  scales[3], scales[3])
         out = up(self.bcn3_back,
-                 _concat(scales[3].pc1_el_minus_gr, out, corr_out1, pc1_out3),
+                 _concat(emg1(scales[3]), out, corr_out1, pc1_out3),
                  scales[2], scales[2])
         out = up(self.bcn2_back,
-                 _concat(scales[2].pc1_el_minus_gr, out, pc1_out2),
+                 _concat(emg1(scales[2]), out, pc1_out2),
                  scales[1], scales[1])
         out = up(self.bcn1_back,
-                 _concat(scales[1].pc1_el_minus_gr, out, pc1_out1),
+                 _concat(emg1(scales[1]), out, pc1_out1),
                  scales[0], scales[0])
 
         res = self.conv2(out)

@@ -532,9 +532,13 @@ def _rank_partial_kernel(meta_ref,   # (nb, B) VMEM (full): lrank | rid<<16
         lrank = meta & 0xFFFF
         if r:
             rid = meta >> 16
-            w = jnp.zeros((_BLOCK,), gb.dtype)
-            for q in range(r):                       # R is 4 (d+1)
-                w = jnp.where(rid == q, gb[:, c + q], w)
+            # weight-lane select as a masked sum over the R weight lanes:
+            # scalar-indexed single-column extracts (gb[:, c + q]) lower to
+            # per-row lane shuffles in Mosaic and measured 2.4x slower for
+            # the whole kernel (1.22 -> 0.51 ms at M=127k, C=68, R=4)
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, r), 1)
+            sel = (rid[:, None] == iota_r).astype(gb.dtype)  # (B, R)
+            w = jnp.sum(gb[:, c:c + r] * sel, axis=1)        # (B,)
             sv = gb[:, :c] * w[:, None]
             if with_weights:
                 sv = jnp.concatenate([sv, w[:, None]], axis=1)
