@@ -121,6 +121,10 @@ def main():
     # indicates a gradient defect rather than a task ceiling
     ap.add_argument("--overfit", type=int, default=0, metavar="N_PAIRS")
     ap.add_argument("--num-points", type=int, default=NUM_POINTS)
+    # held-out-task scaling knobs (the 512-pair default plateaued at 0.54
+    # on the 12-patch task; more data + a longer schedule push past it)
+    ap.add_argument("--train-pairs", type=int, default=TRAIN_PAIRS)
+    ap.add_argument("--val-pairs", type=int, default=VAL_PAIRS)
     args = ap.parse_args()
 
     import jax
@@ -136,7 +140,7 @@ def main():
                                            set_learning_rate)
 
     n_pts = args.num_points
-    n_train = args.overfit or TRAIN_PAIRS
+    n_train = args.overfit or args.train_pairs
     tr1, tr2, trf = make_dataset(n_train, n_pts, seed=100,
                                  patches=args.patches)
 
@@ -156,11 +160,11 @@ def main():
         va1, va2, vaf = tr1, tr2, trf
         n_val = n_train
     else:
-        va1, va2, vaf = make_dataset(VAL_PAIRS, n_pts, seed=999,
+        va1, va2, vaf = make_dataset(args.val_pairs, n_pts, seed=999,
                                      patches=args.patches)
         va1, va2, vaf = resample_overflowing(spec, va1, va2, seed=999,
                                              patches=args.patches)
-        n_val = VAL_PAIRS
+        n_val = args.val_pairs
     model = HPLFlowNetShallow(scales_filter_map=SFM5,
                               compute_dtype="bfloat16")
 
