@@ -31,7 +31,7 @@ from .bcl import (splat, _activation, _dense_init, _first_tap_init,
                   _constrain_vertices, _stencil, _dkernel,
                   _PALLAS_VMEM_BUDGET, _PALLAS_WIDE_LIMIT)
 from .pallas_stencil import (CORR_INV_WINDOW, CORR_WINDOW,
-                             stencil_tap_tables_sum)
+                             stencil_tap_tables_sum, tap_tables_layout)
 from .segment import ReducePlan, apply_reduce_plan
 
 __all__ = ["BilateralCorrelation", "gather_rows", "corr_self",
@@ -193,14 +193,25 @@ def _corr_cross_bwd(res, g):                                 # g: (H1, F, W)
         if c_p != c:
             k2m = jnp.concatenate(
                 [k2m, jnp.zeros((fw, u, c_p - c), k2m.dtype)], axis=2)
+        # slab group sized to ~12 MB of VMEM (double-buffered by Pallas);
+        # emit z straight at the kernel's padded layout — padding the
+        # kernel-sized matmul operands is free, padding z itself is a
+        # full-array HBM copy (was 0.64 ms / 215 MB per train step)
+        slab = (max(-(-h1 // 16) * 16, CORR_INV_WINDOW)
+                * c_p * gc.dtype.itemsize)
+        h_pad, u_pad, group = tap_tables_layout(
+            u, h1, group=max(1, min(8, (12 * 2**20) // slab)))
+        if u_pad != u:
+            k2m = jnp.concatenate(
+                [k2m, jnp.zeros((fw, u_pad - u, c_p), k2m.dtype)], axis=1)
+        g_rows = g_flat
+        if h_pad != h1:
+            g_rows = jnp.concatenate(
+                [g_rows, jnp.zeros((h_pad - h1, fw), g_rows.dtype)], axis=0)
         z = jax.lax.dot_general(
-            g_flat, k2m.reshape(fw, u * c_p),
+            g_rows, k2m.reshape(fw, u_pad * c_p),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(gc.dtype)
-        # slab group sized to ~12 MB of VMEM (double-buffered by Pallas)
-        h_pad = max(-(-h1 // 16) * 16, CORR_INV_WINDOW)
-        slab = h_pad * c_p * z.dtype.itemsize
-        group = max(1, min(8, (12 * 2**20) // slab))
         d_rows = stencil_tap_tables_sum(
             z, c_p, uniq_inv, group=group,
             vmem_limit_bytes=_PALLAS_WIDE_LIMIT)[:, :c]      # (H2, C) f32

@@ -205,7 +205,9 @@ def _combine(plan: ReducePlan, partial_flat: jax.Array, m: int) -> jax.Array:
     """Assemble per-target sums from the (M_pad, C) f32 block partials."""
     c = partial_flat.shape[1]
     nb = -(-m // _BLOCK)
-    # rank-mode interior sums use the first-row column of each block
+    # both modes assemble a run's beyond-first-block share from the prefix
+    # sums of each block's FIRST-rank row: a run crossing into block b owns
+    # that block's local rank 0, so P[b*128] is precisely its share there
     csum0 = jnp.concatenate(
         [jnp.zeros((1, c), jnp.float32),
          jnp.cumsum(partial_flat[:nb * _BLOCK:_BLOCK], axis=0)], axis=0)
@@ -239,22 +241,24 @@ def _combine(plan: ReducePlan, partial_flat: jax.Array, m: int) -> jax.Array:
             (exists & (k_head < _BLOCK))[:, None],
             partial_flat[safe_lo * _BLOCK + jnp.clip(k_head, 0, _BLOCK - 1)],
             0.0)
-        multi = exists & (b_hi > b_lo)
-        # blocks in (b_lo, b_hi) are wholly this rank's: their row is
-        # P[b, 0], and the continuing b_hi block's first entry is also this
-        # rank (k=0)
-        tail = (partial_flat[safe_hi * _BLOCK]
-                + csum0[safe_hi] - csum0[safe_lo + 1])
-        out = head + jnp.where(multi[:, None], tail, 0.0)
-        return jnp.where(exists[:, None], out, 0.0)
+        # every block b in (b_lo, b_hi] starts with this rank's run (ranks
+        # are contiguous), so its rank-0 row P[b*128] sums exactly the
+        # run's entries there — the continuation is one prefix difference
+        # of the first-row column, csum0[b_hi+1] - csum0[b_lo+1]; the old
+        # separate P[b_hi*128] gather is csum0[b_hi+1]'s last term and was
+        # a second full (T, C) gather for nothing.  Single-block runs give
+        # identical indices, hence an exact 0.0 — no multi mask needed.
+        tail = csum0[safe_hi + 1] - csum0[safe_lo + 1]
+        return jnp.where(exists[:, None], head + tail, 0.0)
 
-    # generic-plan interior sums need whole-block totals (sum over k of
-    # partial = block total, since each entry has exactly one local rank)
-    csum = jnp.concatenate(
-        [jnp.zeros((1, c), jnp.float32),
-         jnp.cumsum(jnp.sum(
-             partial_flat[:nb * _BLOCK].reshape(nb, _BLOCK, c), axis=1),
-             axis=0)], axis=0)
+    # generic plans: a run crossing into block b has its entries there at
+    # local rank 0 (a new lrank starts at every block boundary), so block
+    # b's contribution to the incoming run is exactly P[b*128] — the SAME
+    # first-row prefix csum0 the rank mode uses.  head covers the run's
+    # first block; csum0[b1+1] - csum0[b0+1] sums every later block's
+    # share (0 exactly for single-block runs), replacing the old
+    # P[b1*128 + lrank[e1]] (T, C) gather + whole-block-total cumsum
+    # (a second full read of the partials).
     lrank = plan.lrank
     start, end = plan.start, plan.end
     empty = start >= end
@@ -263,11 +267,8 @@ def _combine(plan: ReducePlan, partial_flat: jax.Array, m: int) -> jax.Array:
     b0 = s // _BLOCK
     b1 = e1 // _BLOCK
     head = partial_flat[b0 * _BLOCK + lrank[s]]
-    multi = b1 > b0
-    # interior blocks (b0, b1) exclusive are wholly inside the run
-    tail = partial_flat[b1 * _BLOCK + lrank[e1]] + csum[b1] - csum[b0 + 1]
-    out = head + jnp.where(multi[:, None], tail, 0.0)
-    return jnp.where(empty[:, None], 0.0, out)
+    tail = csum0[b1 + 1] - csum0[b0 + 1]
+    return jnp.where(empty[:, None], 0.0, head + tail)
 
 
 def _fwd(plan, vals):

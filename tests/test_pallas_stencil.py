@@ -152,6 +152,24 @@ def test_stencil_tap_tables_sum_matches_gather_sum():
         want[ok] += tables[nb[k][ok], k * c:(k + 1) * c]
     np.testing.assert_allclose(got, want, atol=5e-3)
 
+    # pre-padded producer contract (tap_tables_layout): tables emitted at
+    # (h_pad, f_pad*c) with zero pad rows/columns give identical results
+    # with no wrapper-side concatenation (the hot path's pad-copy fix)
+    from hplflownet_tpu.ops.pallas_stencil import tap_tables_layout
+    h_pad, f_pad, group = tap_tables_layout(f, h, group=3)
+    assert f_pad > f, "pick a group that does not divide f for this test"
+    got3 = np.asarray(jax.jit(
+        lambda t, n: stencil_tap_tables_sum(t, c, n, group=3,
+                                            interpret=True)
+    )(tables, nb))
+    pre = np.zeros((h_pad, f_pad * c), np.float32)
+    pre[:h, :f * c] = tables
+    got_pre = np.asarray(jax.jit(
+        lambda t, n: stencil_tap_tables_sum(t, c, n, group=3,
+                                            interpret=True)
+    )(pre, nb))
+    np.testing.assert_allclose(got_pre, got3, atol=0.0)
+
 
 def test_blocked_rank_partial_matches_xla_stage():
     """The fused splat partial-stage kernel == the XLA one-hot matmul."""
