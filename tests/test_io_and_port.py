@@ -45,6 +45,38 @@ def test_ply_export(tmp_path):
     export_scene(str(tmp_path / "scene"), 0, pts, pts * 0.01, pts * 0.02, pts)
     for tag in ("pc1", "gt", "pred", "pc2", "error"):
         assert (tmp_path / "scene" / f"0000_{tag}.ply").exists()
+    assert (tmp_path / "scene" / "0000_scene.html").exists()
+
+
+def test_interactive_html_embeds_scene(tmp_path):
+    """The single-file viewer carries the exact clouds + worst-EPE segments
+    (reference counterpart: the Mayavi interactive scene incl. gt-pred
+    connecting lines, /root/reference/visualization.py:68-99)."""
+    import base64
+    from hplflownet_tpu.data.visualization import export_html
+
+    rng = np.random.RandomState(3)
+    pts = rng.randn(64, 3).astype(np.float32)
+    sf = rng.randn(64, 3).astype(np.float32) * 0.1
+    flow = sf + rng.randn(64, 3).astype(np.float32) * 0.02
+    p = str(tmp_path / "scene.html")
+    export_html(p, 7, pts, sf, flow, pts + 1.0, max_segments=16)
+    html = open(p).read()
+    assert html.startswith("<!DOCTYPE html>")
+    # every layer present + embedded bit-exactly
+    for name, cloud in (("pc1", pts), ("gt", pts + sf),
+                        ("pred", pts + flow), ("pc2", pts + 1.0)):
+        b64 = base64.b64encode(cloud.astype(np.float32).tobytes()).decode()
+        assert f'"{name}"' in html and b64 in html, name
+    # worst-EPE segments, capped, as (gt, pred) pairs
+    epe = np.linalg.norm(flow - sf, axis=-1)
+    worst = np.argsort(-epe)[:16]
+    segs = np.concatenate([(pts + sf)[worst], (pts + flow)[worst]], axis=1)
+    assert base64.b64encode(
+        segs.astype(np.float32).tobytes()).decode() in html
+    # interaction hooks exist (toggles, drag/zoom handlers)
+    for marker in ("toggle('pc1'", "onmousedown", "onwheel", "segs"):
+        assert marker in html, marker
 
 
 def test_convert_weight_layouts():

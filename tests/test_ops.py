@@ -437,3 +437,55 @@ def test_model_forward_finite_under_capacity_overflow():
     out = np.asarray(model.apply(params, pc1, pc2, scales))
     assert out.shape == (n, 3)
     assert np.isfinite(out).all()
+
+
+def test_reduce_plan_long_runs_span_many_blocks():
+    """Combine correctness when single targets own runs spanning 3+ 128-entry
+    blocks (heavy id duplication) plus empty targets and sentinels.
+
+    Locks the prefix-difference assembly (segment._combine): a run's
+    beyond-first-block share is csum0[b_hi+1] - csum0[b_lo+1], exact in
+    f64 terms up to prefix cancellation, so compare against a numpy f64
+    segment sum at a tolerance scaled to the prefix magnitude."""
+    from hplflownet_tpu.ops.segment import (apply_reduce_plan,
+                                            make_reduce_plan,
+                                            weighted_reduce)
+
+    rng = np.random.RandomState(11)
+    t = 37
+    # runs of wildly mixed lengths: several span 3-9 blocks, many are
+    # empty, and ~5% of entries are sentinel (-1)
+    lens = rng.choice([0, 0, 1, 2, 7, 130, 400, 1200], size=t,
+                      p=[.25, .15, .2, .15, .1, .06, .05, .04])
+    ids = np.repeat(np.arange(t, dtype=np.int32), lens)
+    rng.shuffle(ids)
+    ids[rng.rand(ids.shape[0]) < 0.05] = -1
+    m = ids.shape[0]
+    vals = rng.randn(m, 5).astype(np.float32)
+
+    plan = make_reduce_plan(jnp.asarray(ids), t)
+    got = np.asarray(apply_reduce_plan(plan, jnp.asarray(vals)))
+
+    want = np.zeros((t, 5), np.float64)
+    np.add.at(want, ids[ids >= 0], vals[ids >= 0].astype(np.float64))
+    scale = np.abs(vals).sum(0).max() + 1.0   # prefix-cancellation bound
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale)
+    assert np.all(got[lens == 0] == 0.0)
+
+    # the weighted (splat-pattern) path over the same plan shape: ids as
+    # (n, r) with r weight lanes, f32 stream (XLA partial path on CPU)
+    r = 4
+    n = m // r
+    ids_nr = ids[:n * r].reshape(n, r)
+    plan_w = make_reduce_plan(jnp.asarray(ids_nr), t)
+    rows = rng.randn(n, 5).astype(np.float32)
+    w = rng.rand(n, r).astype(np.float32)
+    got_w = np.asarray(weighted_reduce(True, plan_w, jnp.asarray(rows),
+                                       jnp.asarray(w)))
+    want_w = np.zeros((t, 6), np.float64)
+    for k in range(r):
+        ok = ids_nr[:, k] >= 0
+        np.add.at(want_w[:, :5], ids_nr[ok, k],
+                  w[ok, k, None].astype(np.float64) * rows[ok])
+        np.add.at(want_w[:, 5], ids_nr[ok, k], w[ok, k].astype(np.float64))
+    np.testing.assert_allclose(got_w, want_w, atol=1e-5 * scale)

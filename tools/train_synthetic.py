@@ -92,6 +92,26 @@ def resample_overflowing(spec, pc1, pc2, seed, patches=300):
     return pc1, pc2, pc2 - pc1
 
 
+def nn_oracle_epe(pc1, pc2, sf):
+    """EPE3D of the nearest-neighbor oracle: predict flow = displacement to
+    the closest pc2 point.
+
+    A non-learned reference point: the best HARD-correspondence matcher
+    (gt-informed: snap each true target to its closest pc2 point) pays
+    exactly the point-density gap between pc1+sf and pc2.  On this
+    generator it measures 0.0 — synthetic_frustum_clouds moves the SAME
+    surface samples (point identity preserved, unlike the reference's
+    uncorrelated NO_CORR sampling, transforms.py:517-533) — so the task's
+    matching floor is zero and any held-out plateau is a model-capacity /
+    optimization effect, not a correspondence-ambiguity ceiling."""
+    tot = 0.0
+    for i in range(pc1.shape[0]):
+        d = np.linalg.norm(pc1[i, :, None, :] + sf[i, :, None, :]
+                           - pc2[i, None, :, :], axis=-1)   # (N, N)
+        tot += float(d.min(axis=1).mean())
+    return tot / pc1.shape[0]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6000)
@@ -198,6 +218,8 @@ def main():
             tot += float(loss)
         return tot / n_val
 
+    oracle = nn_oracle_epe(va1, va2, vaf)
+    _log(f"NN-oracle EPE3D on the val split: {oracle:.4f}")
     t0 = time.time()
     epe0 = val_epe(state.params)
     _log(f"initial held-out EPE3D {epe0:.4f} "
@@ -246,6 +268,7 @@ def main():
         "lr": args.lr, "steps": args.steps, "patches": args.patches,
         "schedule": args.schedule,
         "overflow_total": overflow_total,
+        "nn_oracle_epe3d": oracle,
         "initial_val_epe3d": epe0,
         "final_val_epe3d": curve[-1]["val_epe3d"],
         "final_over_initial": curve[-1]["val_epe3d"] / epe0,
