@@ -266,12 +266,14 @@ def _blur_bwd(tap_negation, act_slope, out_dtype, res, g):
     d_kernel = _dkernel(splatted_pad, neighbors, gc)
 
     # d_splat via the negated-tap gather: same tap-major structure (and the
-    # same fused Pallas kernel on TPU)
+    # same fused Pallas kernel on TPU).  The kernel casts to the compute
+    # dtype at its single HBM write (f32 accumulation inside), so the wide
+    # decoder dX never round-trips f32 through HBM.
     k_t = jnp.transpose(kernel, (0, 2, 1))                 # (F, C_out, C_in)
-    d_sp = _stencil(g_pad, neighbors[neg], k_t)
+    d_sp = _stencil(g_pad, neighbors[neg], k_t,
+                    out_dtype=splatted_pad.dtype)
     d_splatted_pad = jnp.concatenate(
-        [jnp.zeros((1, c_in), jnp.float32), d_sp],
-        axis=0).astype(splatted_pad.dtype)
+        [jnp.zeros((1, c_in), splatted_pad.dtype), d_sp], axis=0)
     d_bias = gp.astype(jnp.float32).sum(axis=0)
     return d_splatted_pad, None, d_kernel.astype(kernel.dtype), d_bias
 

@@ -114,14 +114,16 @@ def _corr_self_bwd(tap_negation, res, g):                    # g: (H1, W)
     g_pad = jnp.concatenate(
         [jnp.zeros((1, gc.shape[1]), gc.dtype), gc], axis=0)
     k_t = jnp.transpose(k_self, (0, 2, 1)).astype(gc.dtype)   # (Cc, W, C)
-    d_rows = _stencil(g_pad, indices[neg], k_t)               # (H1, C) f32
+    # the kernel casts to the compute dtype at its single HBM write (f32
+    # accumulation inside) — no f32 d_table round-trip
+    d_rows = _stencil(g_pad, indices[neg], k_t,
+                      out_dtype=table_pad.dtype)              # (H1, C)
     d_table = jnp.concatenate(
         [jnp.zeros((1, c), d_rows.dtype), d_rows], axis=0)
     # d_k_self via the windowed dW kernel (no (Cc, H1, C) spread on TPU);
     # returns (Cc, C, W) = k_self's layout directly
     d_k = _dkernel(table_pad, indices, gc)
-    return (d_table.astype(table_pad.dtype), None,
-            d_k.astype(k_self.dtype), d_bias)
+    return (d_table, None, d_k.astype(k_self.dtype), d_bias)
 
 
 corr_self.defvjp(_corr_self_fwd, _corr_self_bwd)
