@@ -438,7 +438,7 @@ def _tts_kernel(starts_ref,        # (F_pad, nb) SMEM scalar prefetch
             onehot.astype(win.dtype), win,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (BO, C)
-    out_ref[0, :, :] = acc
+    out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
 
 def tap_tables_layout(f: int, h: int, *, group: int = 4,
@@ -478,6 +478,11 @@ def stencil_tap_tables_sum(tables: jax.Array,     # (H, F*C) tap-major columns
     steps, and the slab streaming wants blocks-fastest order), and the
     F/group partials are summed by one cheap XLA reduce outside.
     Same degrade-to-absent window contract as the main kernel.
+
+    The F/group partial planes are written in ``tables.dtype`` (bf16 on the
+    hot path — the planes are pure HBM round-trip traffic, measured 147 MB
+    f32 for the 65-tap corr adjoint) and the outer reduce accumulates them
+    in f32; the returned array is f32 either way.
     """
     f, hout = neighbors.shape
     h = tables.shape[0]
@@ -527,11 +532,11 @@ def stencil_tap_tables_sum(tables: jax.Array,     # (H, F*C) tap-major columns
                           block=block),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups, nb * block, c),
-                                       jnp.float32),
+                                       tables.dtype),
         interpret=interpret,
         **kwargs,
     )(starts, neighbors, tables)
-    return jnp.sum(out, axis=0)[:hout]
+    return jnp.sum(out, axis=0, dtype=jnp.float32)[:hout]
 
 
 # ---------------------------------------------------------------------------
@@ -544,24 +549,27 @@ def _rank_partial_kernel(meta_ref,   # (nb, B) VMEM (full): lrank | rid<<16
                          *, c, r, with_weights, bo):
     i = pl.program_id(0)
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1)
+    meta_all = meta_ref[pl.ds(i * bo, bo), :].reshape(bo * _BLOCK)
+    if r:
+        # elementwise pre-pass over the WHOLE program block at once: the
+        # per-128-row form serialized VPU select/mult against the MXU dots
+        # (measured 0.51 -> 0.32 ms at M=128k, C=68, R=4).  Weight-lane
+        # select as a masked sum over the R weight lanes: scalar-indexed
+        # single-column extracts (gb[:, c + q]) lower to per-row lane
+        # shuffles in Mosaic and measured 2.4x slower for the whole kernel
+        # (1.22 -> 0.51 ms at M=127k, C=68, R=4)
+        rid_all = meta_all >> 16
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (bo * _BLOCK, r), 1)
+        sel = (rid_all[:, None] == iota_r).astype(g_ref.dtype)
+        w_all = jnp.sum(g_ref[:, c:c + r] * sel, axis=1)     # (BO*B,)
+        sv_all = g_ref[:, :c] * w_all[:, None]
+        if with_weights:
+            sv_all = jnp.concatenate([sv_all, w_all[:, None]], axis=1)
+    else:
+        sv_all = g_ref[:, :c]
     for k in range(bo):                              # static unroll
-        gb = g_ref[k * _BLOCK:(k + 1) * _BLOCK, :]   # (B, CR)
-        meta = meta_ref[i * bo + k, :]               # (B,)
-        lrank = meta & 0xFFFF
-        if r:
-            rid = meta >> 16
-            # weight-lane select as a masked sum over the R weight lanes:
-            # scalar-indexed single-column extracts (gb[:, c + q]) lower to
-            # per-row lane shuffles in Mosaic and measured 2.4x slower for
-            # the whole kernel (1.22 -> 0.51 ms at M=127k, C=68, R=4)
-            iota_r = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, r), 1)
-            sel = (rid[:, None] == iota_r).astype(gb.dtype)  # (B, R)
-            w = jnp.sum(gb[:, c:c + r] * sel, axis=1)        # (B,)
-            sv = gb[:, :c] * w[:, None]
-            if with_weights:
-                sv = jnp.concatenate([sv, w[:, None]], axis=1)
-        else:
-            sv = gb[:, :c]
+        lrank = meta_all[k * _BLOCK:(k + 1) * _BLOCK] & 0xFFFF
+        sv = sv_all[k * _BLOCK:(k + 1) * _BLOCK, :]
         onehot = (lrank[:, None] == iota_b).astype(sv.dtype)   # (B, B)
         out_ref[k * _BLOCK:(k + 1) * _BLOCK, :] = jax.lax.dot_general(
             onehot, sv, (((0,), (0,)), ((), ())),
