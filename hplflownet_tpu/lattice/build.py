@@ -834,8 +834,14 @@ def build_pyramid(
         from ..ops.pallas_stencil import (BLUR_WINDOW, CORR_INV_BLOCK,
                                           CORR_INV_WINDOW, CORR_WINDOW,
                                           stencil_overflow_count)
+        from ..ops.segment import rank_reduce_overflow
         probe_oflow = jnp.zeros((), jnp.int32)
-        stencil_oflow = jnp.zeros((), jnp.int32)
+        # count rank blocks whose sorted-stream span exceeds the fused
+        # rank-reduce kernel's window (ops/segment._wr_rank_fused): their
+        # beyond-window splat entries are dropped on the TPU path — a
+        # counted degrade, monitored like the stencil windows
+        stencil_oflow = (rank_reduce_overflow(cl1.splat_plan)
+                         + rank_reduce_overflow(cl2.splat_plan))
         if ss.blur_radius != -1:
             offs = neighborhood_offsets(ss.blur_radius, spec.d)
             nb1, of1 = _neighbor_table(cl1, offs, spec.d, bits)

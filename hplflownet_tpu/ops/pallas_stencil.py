@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["stencil_gather_matmul", "stencil_dkernel",
            "stencil_tap_tables_sum", "tap_tables_layout",
            "stencil_overflow_count", "window_starts",
+           "blocked_rank_reduce",
            "BLUR_WINDOW", "CORR_WINDOW"]
 
 _BLOCK = 128        # output vertices per program
@@ -574,6 +575,161 @@ def _rank_partial_kernel(meta_ref,   # (nb, B) VMEM (full): lrank | rid<<16
         out_ref[k * _BLOCK:(k + 1) * _BLOCK, :] = jax.lax.dot_general(
             onehot, sv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # (B, C_out)
+
+
+def _rank_reduce_kernel(bs_ref,       # (n_sb,) SMEM: stream window block idx
+                        cfr_ref,      # (n_w/128,) SMEM: chunk first ranks
+                        meta0_ref,    # (1, W/128, 128) VMEM block at bs[i]
+                        meta1_ref,    # (1, W/128, 128) VMEM block at bs[i]+1
+                        g0_ref,       # (W, CR) VMEM window block at bs[i]
+                        g1_ref,       # (W, CR) VMEM window block at bs[i]+1
+                        out_ref,      # (BO*128, C_out) VMEM block at (i, 0)
+                        acc_ref,      # (BO*128, C_out) f32 scratch
+                        *, c, r, with_weights, window, bo):
+    i = pl.program_id(0)
+    base = i * bo * _BLOCK
+    osz = 2 * _BLOCK if bo >= 2 else _BLOCK
+    iota_o = jax.lax.broadcasted_iota(jnp.int32, (osz, _BLOCK), 0)
+    ncc = window // _BLOCK
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+    # chunk-centric: each 128-entry stream chunk spans <= 128 consecutive
+    # ranks, so it lands entirely inside TWO aligned 128-rank output rows
+    # starting at its (prefetched) first rank's block — one (256, 128) x
+    # (128, C) one-hot dot per chunk, accumulated at a dynamic 128-aligned
+    # scratch offset.  Chunks owned by neighboring super-blocks clamp into
+    # range and their one-hot simply misses (adds zero).
+    for h, (m_ref, g_ref) in enumerate(((meta0_ref, g0_ref),
+                                        (meta1_ref, g1_ref))):
+        for cc in range(ncc):                            # static unroll
+            k0 = jnp.clip((cfr_ref[(bs_ref[i] + h) * ncc + cc] - base)
+                          >> 7, 0, max(bo - 2, 0))
+            meta = m_ref[0, cc, :]                       # (128,)
+            gw = g_ref[pl.ds(cc * _BLOCK, _BLOCK), :]    # (128, CR)
+            if r:
+                grank = meta >> 2
+                rid = meta & 3
+                iota_r = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, r), 1)
+                sel = (rid[:, None] == iota_r).astype(gw.dtype)
+                w = jnp.sum(gw[:, c:c + r] * sel, axis=1)    # (128,)
+                sv = gw[:, :c] * w[:, None]
+                if with_weights:
+                    sv = jnp.concatenate([sv, w[:, None]], axis=1)
+            else:
+                grank = meta
+                sv = gw[:, :c]
+            onehot = (grank[None, :] - (base + k0 * _BLOCK)
+                      == iota_o).astype(sv.dtype)
+            acc_ref[pl.ds(k0 * _BLOCK, osz), :] += jax.lax.dot_general(
+                onehot, sv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (osz, C_out)
+    out_ref[:, :] = acc_ref[:, :]
+
+
+RANK_REDUCE_BO = 8   # 128-rank output blocks per program
+
+
+def rank_reduce_geometry(m: int, t: int):
+    """(window, bo): static stream window + output blocks per program.
+
+    One program reduces ``bo`` 128-rank output blocks; the stream entries
+    feeding them span ~bo * 128 * (M / T) sorted rows (measured span p100
+    over seeded FT3D-like clouds tracks 128 * ratio per rank block with
+    <= 621 rows of slack at ratio 16), sized with a 1.35x ratio margin +
+    384.  The kernel fetches TWO window blocks from ``start // window``,
+    so total coverage is 2 * window from a window-aligned floor.  Must
+    stay in lockstep with :func:`..segment.rank_reduce_overflow`.
+    """
+    bo = max(1, min(RANK_REDUCE_BO, t // _BLOCK))
+    w = int(bo * _BLOCK * (m / t) * 1.35) + 384
+    w = -(-w // _BLOCK) * _BLOCK
+    return min(w, -(-m // _BLOCK) * _BLOCK), bo
+
+
+def blocked_rank_reduce(g: jax.Array,        # (M, C + R) sorted value stream
+                        meta: jax.Array,     # (M,) i32: grank << 2 | rid (r>0)
+                                             #          or plain grank (r==0)
+                        start_rows: jax.Array,  # (T/128,) i32: stream position
+                                             # of each rank block's first run
+                        c: int,              # row width (C)
+                        r: int,              # weight lanes; 0 = plain rows
+                        with_weights: bool = False,
+                        *, window: int, bo: int = RANK_REDUCE_BO,
+                        interpret: bool = False,
+                        vmem_limit_bytes: int | None = None) -> jax.Array:
+    """Fused weighted segment reduction for rank-mode plans.
+
+    out[t] = sum over stream entries j with global rank t of w_j * g[j, :c]
+    — the whole splat / slice-adjoint reduction in ONE pass: no (M, C) f32
+    partial-plane round trip and no (T, C) head/tail combine gathers
+    (together the bulk of ops/segment's HBM traffic at decoder widths).
+    Ranks are monotone in the sorted stream, so the entries feeding one
+    ``bo * 128``-rank super-block live in a contiguous stream range; each
+    program streams TWO ``window``-row blocks starting at
+    ``start_rows[i * bo] // window`` and folds every 128-entry chunk with
+    one (256, 128) x (128, C) one-hot MXU dot at a dynamic 128-aligned
+    scratch offset (a chunk's <= 128 distinct monotone ranks always fit two
+    aligned output rows).  Entries beyond the two fetched blocks are
+    dropped — the same counted degrade contract as the stencil windows
+    (the builder counts affected super-blocks via
+    :func:`hplflownet_tpu.ops.segment.rank_reduce_overflow`; zero on
+    realistic clouds, and impossible when ``window`` covers the padded
+    stream).  Returns (T_pad, C_out) f32, C_out = c + 1 if ``with_weights``
+    else c; rank rows with no entries are exact zeros.
+    """
+    m, cr = g.shape
+    assert cr == c + r, (g.shape, c, r)
+    assert r <= 4, r
+    assert window % _BLOCK == 0, window
+    nt_blocks = start_rows.shape[0]
+    n_sb = -(-nt_blocks // bo)
+    if n_sb * bo != nt_blocks:
+        start_rows = jnp.concatenate(
+            [start_rows, jnp.full((n_sb * bo - nt_blocks,), m, jnp.int32)])
+    # pad the stream to whole window blocks PLUS one spare so block bs+1
+    # always exists; pad meta with a huge rank that matches no output row
+    n_w = (-(-m // window) + 1) * window
+    pad_rank = jnp.int32(1 << 28)
+    g = jnp.concatenate([g, jnp.zeros((n_w - m, cr), g.dtype)], axis=0)
+    meta = jnp.concatenate(
+        [meta, jnp.full((n_w - m,), pad_rank << 2 if r else pad_rank,
+                        jnp.int32)], axis=0)
+    bs = jnp.clip(start_rows[::bo] // window, 0, n_w // window - 2)
+    # per-chunk first ranks for the dynamic accumulate offsets
+    grank = (meta >> 2) if r else meta
+    cfr = grank[::_BLOCK]                                # (n_w/128,)
+
+    c_out = c + 1 if with_weights else c
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_sb,),
+        in_specs=[
+            pl.BlockSpec((1, window // _BLOCK, _BLOCK),
+                         lambda i, bs, cfr: (bs[i], 0, 0)),
+            pl.BlockSpec((1, window // _BLOCK, _BLOCK),
+                         lambda i, bs, cfr: (bs[i] + 1, 0, 0)),
+            pl.BlockSpec((window, cr), lambda i, bs, cfr: (bs[i], 0)),
+            pl.BlockSpec((window, cr), lambda i, bs, cfr: (bs[i] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((bo * _BLOCK, c_out),
+                               lambda i, bs, cfr: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bo * _BLOCK, c_out), jnp.float32),
+        ],
+    )
+    meta2 = meta.reshape(n_w // window, window // _BLOCK, _BLOCK)
+    kwargs = {}
+    if vmem_limit_bytes is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+    return pl.pallas_call(
+        functools.partial(_rank_reduce_kernel, c=c, r=r,
+                          with_weights=with_weights, window=window, bo=bo),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_sb * bo * _BLOCK, c_out),
+                                       jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(bs, cfr, meta2, meta2, g, g)
 
 
 def blocked_rank_partial(g: jax.Array,       # (M, C + R) sorted value stream

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["ReducePlan", "make_reduce_plan", "apply_reduce_plan",
-           "weighted_reduce"]
+           "weighted_reduce", "rank_reduce_window", "rank_reduce_overflow"]
 
 _BIG = np.int32(np.iinfo(np.int32).max)
 
@@ -162,6 +162,40 @@ def _partial_blocks_xla(lrank: jax.Array, sorted_vals: jax.Array):
         onehot, blocks, (((1,), (1,)), ((0,), (0,))),
         precision=prec, preferred_element_type=jnp.float32)     # (nb, B, C)
     return partial.reshape(mp, c)
+
+
+def rank_reduce_window(m: int, t: int) -> int:
+    """Static stream window (rows) of the fused rank-mode reduction kernel;
+    see pallas_stencil.rank_reduce_geometry (this is its window half)."""
+    from .pallas_stencil import rank_reduce_geometry
+    return rank_reduce_geometry(m, t)[0]
+
+
+def rank_reduce_overflow(plan: ReducePlan) -> jax.Array:
+    """() i32: rank super-blocks whose entries overflow the fused kernel
+    window.
+
+    Mirrors blocked_rank_reduce's exact coverage: super-block i streams
+    rows [bs*W, bs*W + 2W) with bs = start[i * bo * 128] // W, so it
+    covers every entry iff end[last] <= (bs + 2) * W.
+    """
+    from .pallas_stencil import rank_reduce_geometry
+    t = plan.start.shape[0]
+    m = plan.ids.shape[0]
+    w, bo = rank_reduce_geometry(m, t)
+    step = bo * _BLOCK
+    tp = -(-t // step) * step
+    start = plan.start
+    end = plan.end
+    if tp != t:
+        start = jnp.concatenate(
+            [start, jnp.full((tp - t,), m, jnp.int32)])
+        end = jnp.concatenate([end, jnp.zeros((tp - t,), jnp.int32)])
+    first = start[::step]
+    last = jnp.max(end.reshape(-1, step), axis=1)
+    n_w = (-(-m // w) + 1) * w
+    bs = jnp.clip(first // w, 0, n_w // w - 2)
+    return jnp.sum((last > (bs + 2) * w).astype(jnp.int32))
 
 
 def _use_pallas_partial(dt) -> bool:
@@ -311,6 +345,39 @@ def weighted_reduce(
     return _wr_forward(with_weights, plan, rows, weights)
 
 
+def _wr_rank_fused(plan, g, rid, c, r, with_weights, interpret=False):
+    """Fused rank-mode reduction: see pallas_stencil.blocked_rank_reduce.
+
+    Global rank per sorted entry is ``r0[j // 128] + lrank[j]`` (lrank
+    resets at block boundaries AND counts each key change, so adding the
+    block-first global rank recovers the dense rank; sentinel runs may
+    land one rank past the last real one — they carry exactly-zero values
+    by the rank-mode contract, so they add nothing wherever they land).
+    """
+    from .pallas_stencil import blocked_rank_reduce, rank_reduce_geometry
+    m = g.shape[0]
+    t = plan.start.shape[0]
+    w2, bo = rank_reduce_geometry(m, t)
+    grank = jnp.repeat(plan.r0, _BLOCK,
+                       total_repeat_length=plan.r0.shape[0] * _BLOCK
+                       )[:m] + plan.lrank
+    meta = (grank << 2) | rid.astype(jnp.int32) if r else grank
+    tp = -(-t // _BLOCK) * _BLOCK
+    start = plan.start
+    if tp != t:
+        start = jnp.concatenate(
+            [start, jnp.full((tp - t,), m, jnp.int32)])
+    # window buffers: 2 specs x 2 pipeline buffers of (W, CR) + the acc
+    cr_pad = -(-(c + r) // _BLOCK) * _BLOCK
+    vmem = (4 * w2 * cr_pad * g.dtype.itemsize
+            + 2 * bo * _BLOCK * (c + 1) * 4)
+    limit = None if vmem <= 12 * 2**20 else 100 * 2**20
+    out = blocked_rank_reduce(g, meta, start[::_BLOCK], c, r,
+                              with_weights, window=w2, bo=bo,
+                              interpret=interpret, vmem_limit_bytes=limit)
+    return out[:t]
+
+
 def _wr_forward(with_weights, plan, rows, weights):
     r = weights.shape[1]
     c = rows.shape[1]
@@ -324,6 +391,13 @@ def _wr_forward(with_weights, plan, rows, weights):
     cat = jnp.concatenate([rows, weights.astype(dt)], axis=1)   # (N, C+R)
     g = cat[pid]                                                # (M, C+R)
     m = g.shape[0]
+    if _use_pallas_partial(dt) and plan.r0.shape[0] > 1:
+        # rank-mode plans (all splat plans): ONE fused Pallas pass does the
+        # whole reduction — weight select, product, and a global-rank
+        # one-hot matmul over a windowed stream slice per 128-rank block.
+        # No (M, C) f32 partial planes and no (T, C) combine gathers ever
+        # touch HBM (those dominated this path at decoder widths).
+        return _wr_rank_fused(plan, g, rid, c, r, with_weights)
     if _use_pallas_partial(dt):
         # one Pallas pass fuses the weight-lane select, the product and
         # the one-hot rank matmul — HBM sees only the gathered stream in

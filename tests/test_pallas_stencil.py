@@ -213,3 +213,147 @@ def test_blocked_rank_partial_matches_xla_stage():
                                             interpret=True)
     )(g, jnp.asarray(lrank)))
     np.testing.assert_allclose(got[:want.shape[0]], want, atol=1e-4)
+
+
+def _mk_rank_plan(rng, t, m_real, m, r):
+    """Synthetic rank-mode ReducePlan pieces + a sorted stream.
+
+    Dense ranks with random run lengths over the first ``m_real`` entries;
+    the tail is sentinel (rank sticks at the last real one, zero values —
+    the rank-mode contract).  Returns (plan, g, rid, dense_ref_ids).
+    """
+    from hplflownet_tpu.ops.segment import ReducePlan, local_ranks
+
+    # random run lengths >= 1 until m_real is exhausted
+    ranks = []
+    cur = 0
+    while len(ranks) < m_real and cur < t:
+        ln = int(rng.randint(1, 7))
+        ranks.extend([cur] * min(ln, m_real - len(ranks)))
+        cur += 1
+    nuniq = ranks[-1] + 1
+    ranks = np.asarray(ranks + [nuniq - 1] * (m - len(ranks)), np.int32)
+    valid = np.arange(m) < m_real
+
+    same = np.concatenate([[False], ranks[1:] == ranks[:-1]])
+    # sentinel tail: key changes once at the real->sentinel boundary
+    if m > m_real:
+        same[m_real] = False
+        same[m_real + 1:] = True
+    lrank = np.asarray(local_ranks(jnp.asarray(same)))
+    start = np.searchsorted(ranks[:m_real], np.arange(t)).astype(np.int32)
+    end = np.searchsorted(ranks[:m_real], np.arange(t), "right").astype(
+        np.int32)
+    dead = np.arange(t) >= nuniq
+    start = np.where(dead, m_real, start).astype(np.int32)
+    end = np.where(dead, m_real, end).astype(np.int32)
+    r0 = np.where(valid[::128], ranks[::128], nuniq - 1).astype(np.int32)
+    plan = ReducePlan(
+        ids=jnp.asarray(np.where(valid, ranks, -1)),
+        perm=jnp.arange(m, dtype=jnp.int32),
+        start=jnp.asarray(start), end=jnp.asarray(end),
+        lrank=jnp.asarray(lrank), r0=jnp.asarray(ranks[::128]))
+    return plan, ranks, valid
+
+
+def test_blocked_rank_reduce_matches_dense_segment_sum():
+    """The fused rank-mode reduction == a dense numpy segment sum."""
+    from hplflownet_tpu.ops.segment import _wr_rank_fused
+
+    rng = np.random.RandomState(11)
+    t, m_real, m, c, r = 640, 1500, 1600, 20, 4
+    plan, ranks, valid = _mk_rank_plan(rng, t, m_real, m, r)
+    g = rng.randn(m, c + r).astype(np.float32)
+    g[~valid] = 0.0                       # rank-mode zero-sentinel contract
+    rid = rng.randint(0, r, m).astype(np.int32)
+
+    w = np.take_along_axis(g[:, c:], rid[:, None], axis=1)[:, 0]
+    sv = g[:, :c] * w[:, None]
+    want = np.zeros((t, c + 1), np.float32)
+    np.add.at(want[:, :c], ranks[valid], sv[valid])
+    np.add.at(want[:, c], ranks[valid], w[valid])
+
+    for with_w in (False, True):
+        got = np.asarray(jax.jit(
+            lambda gg, rr: _wr_rank_fused(plan, gg, rr, c, r, with_w,
+                                          interpret=True))(g, rid))
+        cols = c + 1 if with_w else c
+        np.testing.assert_allclose(got, want[:, :cols], atol=1e-4)
+
+    # plain-rows mode (r=0)
+    got = np.asarray(jax.jit(
+        lambda gg: _wr_rank_fused(plan, gg, jnp.zeros((m,), jnp.int32),
+                                  c + r, 0, False, interpret=True))(g))
+    want0 = np.zeros((t, c + r), np.float32)
+    np.add.at(want0, ranks[valid], g[valid])
+    np.testing.assert_allclose(got, want0, atol=1e-4)
+
+
+def test_blocked_rank_reduce_overflow_degrades_and_is_counted():
+    """Entries past the 2-block window are dropped; the builder-side
+    counter flags exactly the affected rank blocks."""
+    from hplflownet_tpu.ops.segment import (_wr_rank_fused,
+                                            rank_reduce_overflow,
+                                            rank_reduce_window)
+
+    rng = np.random.RandomState(12)
+    # one giant run (rank 3) makes super-block 0's span blow past the
+    # window (many single-entry ranks keep the M/T-scaled window small)
+    t, c, r = 8192, 8, 4
+    runs = [5, 2, 3, 40000, 2, 3] + [1] * 8000
+    ranks = np.concatenate([np.full(ln, i, np.int32)
+                            for i, ln in enumerate(runs)])
+    m = m_real = len(ranks)
+    same = np.concatenate([[False], ranks[1:] == ranks[:-1]])
+    from hplflownet_tpu.ops.segment import ReducePlan, local_ranks
+    lrank = np.asarray(local_ranks(jnp.asarray(same)))
+    start = np.searchsorted(ranks, np.arange(t)).astype(np.int32)
+    end = np.searchsorted(ranks, np.arange(t), "right").astype(np.int32)
+    nuniq = len(runs)
+    dead = np.arange(t) >= nuniq
+    start = np.where(dead, m, start).astype(np.int32)
+    end = np.where(dead, m, end).astype(np.int32)
+    plan = ReducePlan(ids=jnp.asarray(ranks),
+                      perm=jnp.arange(m, dtype=jnp.int32),
+                      start=jnp.asarray(start), end=jnp.asarray(end),
+                      lrank=jnp.asarray(lrank),
+                      r0=jnp.asarray(ranks[::128]))
+
+    from hplflownet_tpu.ops.pallas_stencil import rank_reduce_geometry
+    w2, bo = rank_reduce_geometry(m, t)
+    assert 2 * w2 < 40000, "test needs the giant run to overflow coverage"
+    n_over = int(np.asarray(rank_reduce_overflow(plan)))
+    assert n_over >= 1
+
+    g = rng.randn(m, c + r).astype(np.float32)
+    rid = rng.randint(0, r, m).astype(np.int32)
+    got = np.asarray(jax.jit(
+        lambda gg, rr: _wr_rank_fused(plan, gg, rr, c, r, False,
+                                      interpret=True))(g, rid))
+
+    # reference restricted to each super-block's true 2-window coverage,
+    # mirroring the kernel's chunk targeting: a chunk contributes to output
+    # rows [k0 * 128, k0 * 128 + 256) with k0 clamped into the super-block
+    w = np.take_along_axis(g[:, c:], rid[:, None], axis=1)[:, 0]
+    sv = g[:, :c] * w[:, None]
+    n_w = (-(-m // w2) + 1) * w2
+    step = bo * 128
+    want = np.zeros((t, c), np.float32)
+    for i in range(-(-t // step)):
+        base = i * step
+        bs = min(max(start[base] // w2, 0), n_w // w2 - 2)
+        for cc in range(2 * w2 // 128):
+            lo = bs * w2 + cc * 128
+            hi = min(lo + 128, m)
+            if lo >= m:
+                continue
+            rk = ranks[lo:hi]
+            k0 = min(max((int(rk[0]) - base) >> 7, 0), max(bo - 2, 0))
+            osz = 256 if bo >= 2 else 128
+            r_lo = base + k0 * 128
+            sel = (rk >= r_lo) & (rk < min(r_lo + osz, base + step))
+            # rows of other super-blocks also miss: rank one-hot window
+            sel &= (rk >= base) & (rk < base + step)
+            np.add.at(want, rk[sel], sv[lo:hi][sel])
+    # the giant run sums many f32 terms in a different association order
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-3)
