@@ -302,10 +302,13 @@ def _probe_dispatch(vw, qw, rows_sorted=False, bw=_PROBE_BW_CORR):
     Returns ``(idx, found, overflow)`` with ``overflow`` a per-tap count of
     window-overflowed queries (always 0 on the sort path).
     """
-    if rows_sorted:
+    from ..ops.dispatch import exact_mode_active
+    if rows_sorted and not exact_mode_active():
         def probe(v, q):
             return _probe_rows_sorted(v, q, bw=bw)
     else:
+        # exact mode routes even sorted rows through the window-free
+        # sort-merge join (no degrade; overflow identically 0)
         probe = _probe_with_overflow
     cfg = _PROBE_MESH.get()
     if cfg is None or qw[0].ndim != 2:
@@ -834,24 +837,36 @@ def build_pyramid(
         from ..ops.pallas_stencil import (BLUR_WINDOW, CORR_INV_BLOCK,
                                           CORR_INV_WINDOW, CORR_WINDOW,
                                           stencil_overflow_count)
+        from ..ops.dispatch import exact_mode_active, rank_fused_enabled
         from ..ops.segment import rank_reduce_overflow
         probe_oflow = jnp.zeros((), jnp.int32)
         # count rank blocks whose sorted-stream span exceeds the fused
         # rank-reduce kernel's window (ops/segment._wr_rank_fused): their
         # beyond-window splat entries are dropped on the TPU path — a
-        # counted degrade, monitored like the stencil windows
-        stencil_oflow = (rank_reduce_overflow(cl1.splat_plan)
-                         + rank_reduce_overflow(cl2.splat_plan))
+        # counted degrade, monitored like the stencil windows.  In exact
+        # mode no windowed kernel runs, so the window counters are moot.
+        _window_kernels = (jax.default_backend() == "tpu"
+                           and not exact_mode_active())
+        if _window_kernels and rank_fused_enabled():
+            stencil_oflow = (rank_reduce_overflow(cl1.splat_plan)
+                             + rank_reduce_overflow(cl2.splat_plan))
+        else:
+            stencil_oflow = jnp.zeros((), jnp.int32)
+
+        def _soc(table, capacity, window, **kw):
+            # window spans only degrade where the windowed Pallas kernels
+            # actually run; CPU/exact-mode use the exact XLA paths
+            if not _window_kernels:
+                return jnp.zeros((), jnp.int32)
+            return stencil_overflow_count(table, capacity, window, **kw)
         if ss.blur_radius != -1:
             offs = neighborhood_offsets(ss.blur_radius, spec.d)
             nb1, of1 = _neighbor_table(cl1, offs, spec.d, bits)
             nb2, of2 = _neighbor_table(cl2, offs, spec.d, bits)
             probe_oflow = probe_oflow + of1 + of2
             stencil_oflow = (stencil_oflow
-                             + stencil_overflow_count(nb1, ss.capacity,
-                                                      BLUR_WINDOW)
-                             + stencil_overflow_count(nb2, ss.capacity,
-                                                      BLUR_WINDOW))
+                             + _soc(nb1, ss.capacity, BLUR_WINDOW)
+                             + _soc(nb2, ss.capacity, BLUR_WINDOW))
         else:
             nb1 = jnp.zeros((1, 1), dtype=jnp.int32)
             nb2 = jnp.zeros((1, 1), dtype=jnp.int32)
@@ -872,15 +887,13 @@ def build_pyramid(
                     with_inverse=adjoint_plans, bits=bits)
             probe_oflow = probe_oflow + of_c
             stencil_oflow = (stencil_oflow
-                             + stencil_overflow_count(corr1, ss.capacity,
-                                                      BLUR_WINDOW)
-                             + stencil_overflow_count(corr2u, ss.capacity,
-                                                      CORR_WINDOW))
+                             + _soc(corr1, ss.capacity, BLUR_WINDOW)
+                             + _soc(corr2u, ss.capacity, CORR_WINDOW))
             if adjoint_plans:
                 # the corr_cross adjoint runs the inverse table through the
                 # same windowed kernel (ops/corr._corr_cross_bwd); count its
                 # spans so gradient degradation is monitored identically
-                stencil_oflow = stencil_oflow + stencil_overflow_count(
+                stencil_oflow = stencil_oflow + _soc(
                     corr2u_inv, ss.capacity, CORR_INV_WINDOW,
                     block=CORR_INV_BLOCK)
         else:

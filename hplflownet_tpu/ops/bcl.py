@@ -159,7 +159,8 @@ _DKERNEL_BUDGET = 96 * 2**20
 
 def _pallas_tier(h: int, c_in: int, kernel_bytes: int):
     """None = XLA; otherwise the vmem_limit_bytes to pass (0 = default)."""
-    if jax.default_backend() != "tpu":
+    from .dispatch import exact_mode_active
+    if jax.default_backend() != "tpu" or exact_mode_active():
         return None
     c_pad = -(-c_in // 128) * 128
     total = h * c_pad * 2 + kernel_bytes
@@ -201,7 +202,8 @@ def _dkernel(splatted_pad, neighbors, gc, window=BLUR_WINDOW):
     (no (F, H, C_in) spread), XLA spread+dot fallback elsewhere."""
     h1, c_in = splatted_pad.shape
     c_out = gc.shape[1]
-    if jax.default_backend() == "tpu":
+    from .dispatch import exact_mode_active
+    if jax.default_backend() == "tpu" and not exact_mode_active():
         c_in_p = -(-c_in // 128) * 128
         c_out_p = -(-c_out // 128) * 128
         slab = c_in_p * c_out_p * 4

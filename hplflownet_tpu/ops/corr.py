@@ -187,7 +187,8 @@ def _corr_cross_bwd(res, g):                                 # g: (H1, F, W)
     # running the gather-only tap-tables kernel moves 4x narrower windows
     # than gathering the raw cotangent (measured 3.0 -> ~1.5 ms at the
     # finest scale).  CPU fallback: the plain stencil over the cotangent.
-    if jax.default_backend() == "tpu":
+    from .dispatch import exact_mode_active
+    if jax.default_backend() == "tpu" and not exact_mode_active():
         c_p = -(-c // 128) * 128
         # one transpose-free matmul produces every tap's table as column
         # group u of (H1, U*C): z[:, u*C:(u+1)*C] = g @ k2[u]^T

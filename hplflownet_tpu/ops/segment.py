@@ -205,6 +205,15 @@ def _use_pallas_partial(dt) -> bool:
     return jax.default_backend() == "tpu" and dt == jnp.bfloat16
 
 
+def _use_rank_fused() -> bool:
+    # the single-pass fused rank reduction (_wr_rank_fused) vs the two-pass
+    # blocked_rank_partial + _combine pipeline; off in exact mode (the fused
+    # kernel's stream window degrades on sparse clouds) and A/B-gateable via
+    # HPL_RANK_FUSED=0
+    from .dispatch import rank_fused_enabled
+    return rank_fused_enabled()
+
+
 def _reduce_sorted(plan: ReducePlan, sorted_vals: jax.Array) -> jax.Array:
     """Exact blocked run sums via a local-rank one-hot MXU matmul.
 
@@ -391,7 +400,7 @@ def _wr_forward(with_weights, plan, rows, weights):
     cat = jnp.concatenate([rows, weights.astype(dt)], axis=1)   # (N, C+R)
     g = cat[pid]                                                # (M, C+R)
     m = g.shape[0]
-    if _use_pallas_partial(dt) and plan.r0.shape[0] > 1:
+    if _use_pallas_partial(dt) and plan.r0.shape[0] > 1 and _use_rank_fused():
         # rank-mode plans (all splat plans): ONE fused Pallas pass does the
         # whole reduction — weight select, product, and a global-rank
         # one-hot matmul over a windowed stream slice per 128-rank block.

@@ -127,6 +127,17 @@ def build_everything(args, logger):
     scales = build_pyramid(spec, pc1, pc2)
     params = model.init(jax.random.PRNGKey(args.get_or("seed", 0)),
                         pc1, pc2, scales)
+    init_scheme = str(args.get_or("init", "xavier"))
+    init_gain = float(args.get_or("gain", 1.0))
+    if (init_scheme, init_gain) != ("xavier", 1.0):
+        # reference main.py:100-101: model.apply(init_weights_multi); the
+        # burned-in default IS xavier @ gain 1, so only redraw on deviation
+        from ..models.init import reinit_params
+        params = reinit_params(
+            jax.random.PRNGKey(args.get_or("seed", 0) + 1), params,
+            scheme=init_scheme, gain=init_gain)
+        logger.log(f"=> re-initialized weights: {init_scheme} "
+                   f"(gain {init_gain})")
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     logger.log(f"=> created model '{args.arch}' ({n_params/1e6:.2f}M params)")
     return dict(model=model, spec=spec, params=params,
@@ -144,9 +155,21 @@ def evaluate(args, model, spec, params, val_loader, logger,
         os.makedirs(save_dir, exist_ok=True)
     epe3d_list, path_list = [], []
 
+    n_exact_retries = 0
     for i, batch in enumerate(val_loader):
         db = _device_batch(batch)
-        _, pred = eval_step(params, db)
+        _, pred, overflow = eval_step.with_overflow(params, db)
+        if int(overflow):
+            # a window degraded this batch's forward (e.g. the corr probe
+            # window overflows ~1/600 FT3D pairs) — re-run it through the
+            # exact-mode step so reported metrics never degrade silently
+            # (capacity overflow is the irrecoverable remainder; raise
+            # lattice_capacities for that)
+            _, pred, res_overflow = eval_step.exact(params, db)
+            n_exact_retries += 1
+            logger.log(f"note: batch {i} overflowed windows "
+                       f"(count {int(overflow)}); re-evaluated exactly "
+                       f"(residual capacity overflow {int(res_overflow)})")
         pred = np.asarray(pred)
         pc1 = np.asarray(batch["pc1"])
         pc2 = np.asarray(batch["pc2"])
@@ -189,6 +212,8 @@ def evaluate(args, model, spec, params, val_loader, logger,
         with open(osp.join(save_dir, "sample_path_list.pickle"), "wb") as fd:
             pickle.dump(path_list, fd)
 
+    if n_exact_retries:
+        logger.log(f"exact-mode re-evaluations: {n_exact_retries} batches")
     res = (f" * EPE3D {meters['epe3d'].avg:.4f}\t"
            f"ACC3DS {meters['acc3ds'].avg:.4f}\t"
            f"ACC3DR {meters['acc3dr'].avg:.4f}\t"
@@ -253,7 +278,9 @@ def run(args):
 
     # ---------------- training ----------------
     lr_fn = make_lr_schedule(args)
-    init_state, train_step = make_train_step(model, spec, args.lr)
+    overflow_mode = str(args.get_or("overflow_mode", "skip"))
+    init_state, train_step = make_train_step(model, spec, args.lr,
+                                             on_overflow=overflow_mode)
     eval_step = make_eval_step(model, spec)
     state = init_state(params)
     start_epoch = 0
@@ -267,12 +294,19 @@ def run(args):
         if not np.isfinite(min_val):
             min_val = None
         if args.get_or("reset_lr", False):
-            # reference main.py:144-146: rebase lr to args.lr after the
-            # checkpoint's optimizer state was restored; keep it rebased for
-            # the remaining epochs (overrides the schedule)
+            # reference main.py:144-146 rebases lr to args.lr at resume; the
+            # per-epoch adjust_learning_rate (main.py:156) then reasserts at
+            # the top of the very next epoch, so the rebase is transient.
+            # (The reference's adjust_learning_rate as shipped actually ends
+            # in reset_learning_rate — the computed-schedule assignment is
+            # commented out at main_utils.py:28-30 — making its effective LR
+            # constant args.lr; we follow the documented/intended schedule
+            # instead.)  Set reset_lr_pin to keep args.lr for ALL remaining
+            # epochs (this repo's pre-round-5 behavior).
             logger.log("reset lr")
             state = set_learning_rate(state, args.lr)
-            lr_fn = lambda _epoch: args.lr  # noqa: E731
+            if args.get_or("reset_lr_pin", False):
+                lr_fn = lambda _epoch: args.lr  # noqa: E731
 
     for epoch in range(start_epoch, args.epochs):
         lr = lr_fn(epoch)
@@ -300,9 +334,13 @@ def run(args):
             if int(overflow):
                 # capacity/probe/stencil overflow: the forward silently
                 # dropped work and the Pallas adjoints no longer match the
-                # degraded forward — raise lattice_capacities
+                # degraded forward — the step discarded the inexact update
+                # under overflow_mode=skip (reference-style continue,
+                # main.py:229-244); raise lattice_capacities to avoid these
+                action = ("update skipped" if overflow_mode == "skip"
+                          else "gradients inexact")
                 logger.log(f"WARNING: lattice overflow count {int(overflow)} "
-                           f"at step {i} (gradients inexact; raise "
+                           f"at step {i} ({action}; raise "
                            "lattice_capacities)")
             if i % args.get_or("print_freq", 50) == 0:
                 rate = timer.rate

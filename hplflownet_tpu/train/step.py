@@ -82,8 +82,19 @@ def _batched_loss(model, spec: LatticeSpec, params, batch,
     return loss, pred, jax.lax.stop_gradient(jnp.sum(overflow))
 
 
-def make_train_step(model, spec: LatticeSpec, learning_rate: float = 1e-4):
-    """Returns (state_factory, step_fn); step_fn is donated + jitted."""
+def make_train_step(model, spec: LatticeSpec, learning_rate: float = 1e-4,
+                    on_overflow: str = "keep"):
+    """Returns (state_factory, step_fn); step_fn is donated + jitted.
+
+    ``on_overflow="skip"`` discards the whole update (params, optimizer
+    moments, step count all keep their old values) whenever the pyramid
+    reports any capacity/probe/stencil overflow — on overflow the Pallas
+    adjoints no longer match the degraded forward, so the gradient is
+    inexact (the reference skips bad batches too: OOM catch-and-continue,
+    main.py:229-244).  The select fuses into the Adam elementwise update,
+    costing ~nothing.  "keep" applies the update regardless (bench/tests).
+    """
+    assert on_overflow in ("keep", "skip"), on_overflow
     tx = make_optimizer(learning_rate)
 
     def init_state(params) -> TrainState:
@@ -99,8 +110,16 @@ def make_train_step(model, spec: LatticeSpec, learning_rate: float = 1e-4):
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+        if on_overflow == "skip":
+            keep = overflow == 0
+            sel = lambda new, old: jnp.where(keep, new, old)  # noqa: E731
+            params = jax.tree_util.tree_map(sel, params, state.params)
+            opt_state = jax.tree_util.tree_map(sel, opt_state,
+                                               state.opt_state)
+            step = jnp.where(keep, step, state.step)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss, overflow
+                          step=step), loss, overflow
 
     jitted = jax.jit(train_step, donate_argnums=0)
 
@@ -114,7 +133,14 @@ def make_train_step(model, spec: LatticeSpec, learning_rate: float = 1e-4):
 
 
 def make_eval_step(model, spec: LatticeSpec):
-    """Jitted forward + per-batch loss (no update)."""
+    """Jitted forward + per-batch loss (no update).
+
+    The returned function also carries ``.exact`` — the same step traced
+    under :func:`hplflownet_tpu.ops.dispatch.exact_mode`, with every
+    windowed fast path replaced by its exact fallback.  The driver re-runs
+    a batch through it when the fast step reports window overflow (compiled
+    lazily, so the common all-exact-anyway case never pays for it).
+    """
 
     def eval_step(params, batch):
         loss, pred, overflow = _batched_loss(model, spec, params, batch,
@@ -123,9 +149,15 @@ def make_eval_step(model, spec: LatticeSpec):
 
     jitted = jax.jit(eval_step)
 
+    def eval_step_exact(params, batch):
+        from ..ops.dispatch import exact_mode
+        with exact_mode():
+            return eval_step(params, batch)
+
     def step2(params, batch):
         loss, pred, _ = jitted(params, batch)
         return loss, pred
 
     step2.with_overflow = jitted
+    step2.exact = jax.jit(eval_step_exact)
     return step2

@@ -63,7 +63,10 @@ def postprocess(args: Config) -> Config:
 
     if not args.evaluate:
         args.init = args.get_or("init", "xavier")
-        args.gain = args.get_or("gain", 1.0)
+        args.gain = float(args.get_or("gain", 1.0))
+        # honored by models.init.reinit_params (reference main_utils.py:33-50)
+        assert args.init in ("normal", "xavier", "kaiming", "orthogonal"), \
+            f"initialization method [{args.init}] is not implemented"
 
         if args.get_or("custom_lr", False):
             # reference stores these reversed; we keep ascending order

@@ -151,6 +151,39 @@ def test_real_cli_train_then_evaluate(fake_data, tmp_path):
     assert vals and all(np.isfinite(v) for v in vals), lines[-1]
 
 
+@pytest.mark.slow
+def test_resume_reset_lr_semantics(fake_data, tmp_path):
+    """reset_lr rebases LR at resume but the schedule reasserts at the next
+    epoch top (reference main.py:144-146 + :156); reset_lr_pin keeps args.lr
+    for all remaining epochs (this repo's documented deviation)."""
+    cfg = base_config(fake_data)
+    cfg["lrs"] = "0.001,0.0005"
+    cfg["lr_switch_epochs"] = "0,1"
+
+    def lr_lines(ckpt_dir):
+        log = (osp.join(ckpt_dir, "log"))
+        with open(log) as fd:
+            return [ln.strip() for ln in fd if ln.startswith("lr: ")]
+
+    for pin, want in ((False, "lr: 0.0005"), (True, "lr: 0.001")):
+        ckpt_dir = str(tmp_path / f"ckpt_pin{int(pin)}")
+        c1 = dict(cfg, ckpt_dir=ckpt_dir, epochs=1)
+        p1 = tmp_path / f"a{int(pin)}.yaml"
+        p1.write_text(yaml.safe_dump(c1))
+        run(parse_args_from_yaml(str(p1)))
+        assert lr_lines(ckpt_dir) == ["lr: 0.001"]
+
+        c2 = dict(cfg, ckpt_dir=ckpt_dir, epochs=2, resume=True,
+                  reset_lr=True, reset_lr_pin=pin)
+        p2 = tmp_path / f"b{int(pin)}.yaml"
+        p2.write_text(yaml.safe_dump(c2))
+        run(parse_args_from_yaml(str(p2)))
+        log = (tmp_path / f"ckpt_pin{int(pin)}" / "log").read_text()
+        assert "reset lr" in log
+        # resumed epoch 1: schedule says 0.0005; pinned says args.lr=0.001
+        assert lr_lines(ckpt_dir)[-1] == want, lr_lines(ckpt_dir)
+
+
 def test_ckpt_dir_overwrite_guard(fake_data, tmp_path):
     """Existing ckpt_dir + non-tty stdin must abort unless force_overwrite
     (reference prompts interactively, main.py:36-41)."""

@@ -357,3 +357,47 @@ def test_blocked_rank_reduce_overflow_degrades_and_is_counted():
             np.add.at(want, rk[sel], sv[lo:hi][sel])
     # the giant run sums many f32 terms in a different association order
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-3)
+
+
+def test_rank_fused_matches_weighted_reduce_on_builder_plan():
+    """Compose the fused rank-mode kernel with a REAL builder splat plan
+    (not a synthetic one): _wr_rank_fused in interpret mode must equal the
+    exact weighted_reduce path (CPU: blocked partials + combine) on the
+    plan produced by _build_from_elevated, verifying the
+    r0 + lrank == global-rank identity and start/window coverage against
+    actual builder output."""
+    from hplflownet_tpu.lattice import build_pyramid
+    from hplflownet_tpu.pipeline import make_lattice_spec
+    from hplflownet_tpu.ops.segment import (_wr_rank_fused, weighted_reduce,
+                                            rank_reduce_overflow)
+
+    rng = np.random.RandomState(7)
+    n, d1, c = 256, 4, 12
+    pc1 = rng.randn(n, 3).astype(np.float32) * 3.0
+    pc2 = pc1 + 0.1 * rng.randn(n, 3).astype(np.float32)
+    spec = make_lattice_spec(
+        [[1.0, 1, 1, 1], [0.5, 1, 1, 1]], capacities=[1024, 1024])
+    scales = jax.jit(lambda a, b: build_pyramid(spec, a, b))(pc1, pc2)
+
+    rows = rng.randn(n, c).astype(np.float32)
+    for sp in scales:
+        for plan, bary in ((sp.pc1_splat_plan, sp.pc1_barycentric),
+                           (sp.pc2_splat_plan, sp.pc2_barycentric)):
+            assert int(np.asarray(rank_reduce_overflow(plan))) == 0
+            weights = np.asarray(bary).astype(np.float32)
+            r = weights.shape[1]
+            assert r == d1
+            for with_w in (False, True):
+                want = np.asarray(weighted_reduce(
+                    with_w, plan, jnp.asarray(rows), jnp.asarray(weights)))
+                # mirror _wr_forward's stream construction, then run the
+                # fused kernel on it in interpret mode
+                pid = np.asarray(plan.perm) // r
+                rid = np.asarray(plan.perm % r).astype(np.int32)
+                cat = np.concatenate([rows, weights], axis=1)
+                g = cat[pid]
+                got = np.asarray(jax.jit(
+                    lambda gg, rr: _wr_rank_fused(
+                        plan, gg, rr, c, r, with_w, interpret=True)
+                )(g, rid))
+                np.testing.assert_allclose(got, want, atol=2e-4)

@@ -81,6 +81,58 @@ def test_set_learning_rate_and_schedule():
                     lr_decay_epochs=10, lr_clip=1e-5), 2.5e-4)
 
 
+def test_overflow_skip_discards_update():
+    """on_overflow="skip": an overflowing batch must leave params, optimizer
+    moments and the step count untouched (the Pallas adjoints don't match a
+    degraded forward; reference-style continue, main.py:229-244)."""
+    # capacities far below the ~250-vertex occupancy of a 64-pt cloud
+    spec = make_lattice_spec(SFM5, capacities=[32, 32, 32, 32, 32])
+    model = HPLFlowNetShallow(scales_filter_map=SFM5)
+    batch = make_batch()
+    scales = build_pyramid(spec, batch["pc1"][0], batch["pc2"][0])
+    params = model.init(jax.random.PRNGKey(0), batch["pc1"][0],
+                        batch["pc2"][0], scales)
+
+    init_state, train_step = make_train_step(model, spec, learning_rate=1e-3,
+                                             on_overflow="skip")
+    state = init_state(params)
+    before = [np.asarray(x).copy()
+              for x in jax.tree_util.tree_leaves(state.params)]
+    state, loss, overflow = train_step.with_overflow(state, batch)
+    assert int(overflow) > 0, "fixture must actually overflow"
+    assert np.isfinite(float(loss))
+    after = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
+    assert int(state.step) == 0
+
+    # keep-mode applies the (inexact) update on the same batch
+    init_state, train_step = make_train_step(model, spec, learning_rate=1e-3,
+                                             on_overflow="keep")
+    state = init_state(params)
+    state, _, overflow = train_step.with_overflow(state, batch)
+    assert int(overflow) > 0
+    after = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+    assert int(state.step) == 1
+
+
+def test_overflow_skip_applies_clean_update():
+    """A non-overflowing batch updates normally under on_overflow="skip"."""
+    model, spec, params, batch = setup_model()
+    init_state, train_step = make_train_step(model, spec, learning_rate=1e-3,
+                                             on_overflow="skip")
+    state = init_state(params)
+    before = [np.asarray(x).copy()
+              for x in jax.tree_util.tree_leaves(state.params)]
+    state, loss, overflow = train_step.with_overflow(state, batch)
+    assert int(overflow) == 0
+    assert np.isfinite(float(loss))
+    after = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+    assert int(state.step) == 1
+
+
 def test_checkpoint_roundtrip(tmp_path):
     model, spec, params, batch = setup_model()
     init_state, train_step = make_train_step(model, spec, learning_rate=1e-3)
