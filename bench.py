@@ -39,40 +39,15 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def synthetic_frustum_clouds(batch, n, seed=0, flow_scale=0.1, patches=300):
-    """FT3D-like clouds: points on surfaces inside a 35 m camera frustum.
-
-    ``flow_scale`` is the per-axis std of the patchwise rigid motion; the
-    learnability harness (tools/train_synthetic.py) uses ~1.0 (around one
-    lattice cell at its finest scale — sub-cell flows are invisible to the
-    correlation's displacement taps), while the bench keeps the default.
-    ``patches`` sets the number of independently-moving planar patches:
-    300 (the bench default) gives FT3D-like *surface density* but a
-    spatially incoherent flow field (~3 pts/patch at n=1024); the harness
-    uses a handful so motion is piecewise-rigid over object-sized regions
-    like real scene flow.
-    """
-    rng = np.random.RandomState(seed)
-    out1, out2 = [], []
-    for b in range(batch):
-        # planar patches to mimic surface structure
-        n_patches = patches
-        centers = np.stack([
-            rng.uniform(-15, 15, n_patches),
-            rng.uniform(-8, 8, n_patches),
-            rng.uniform(2, 34, n_patches),
-        ], axis=1).astype(np.float32)
-        which = rng.randint(0, n_patches, n)
-        local = rng.randn(n, 3).astype(np.float32)
-        normals = rng.randn(n_patches, 3).astype(np.float32)
-        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
-        local -= (local * normals[which]).sum(1, keepdims=True) * normals[which]
-        pc1 = centers[which] + 0.8 * local
-        flow = flow_scale * rng.randn(n_patches, 3).astype(np.float32)
-        pc2 = pc1 + flow[which] + 0.01 * rng.randn(n, 3).astype(np.float32)
-        out1.append(pc1)
-        out2.append(pc2)
-    return np.stack(out1), np.stack(out2)
+# FT3D-like clouds: points on surfaces inside a 35 m camera frustum.
+# flow_scale is the per-axis std of the patchwise rigid motion; the
+# learnability harness (tools/train_synthetic.py) uses ~1.0 (around one
+# lattice cell at its finest scale — sub-cell flows are invisible to the
+# correlation's displacement taps), while the bench keeps the default.
+# patches=300 (the bench default) gives FT3D-like *surface density* but a
+# spatially incoherent flow field; the harness uses a handful so motion is
+# piecewise-rigid over object-sized regions like real scene flow.
+from hplflownet_tpu.lattice.capacity import synthetic_frustum_clouds
 
 
 def measure_capacities(spec_rows, pc1, pc2, slack=1.15, align=256):

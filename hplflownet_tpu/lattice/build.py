@@ -935,23 +935,15 @@ def build_pyramid(
     return scales_out
 
 
-def default_capacities(num_points: int, scales: Sequence[Sequence[float]]):
-    """Heuristic static capacities per scale.
+def default_capacities(num_points: int, scales: Sequence[Sequence[float]],
+                       d: int = 3):
+    """Measured static capacities per scale (see lattice/capacity.py).
 
-    At fine scales nearly every point touches d+1 distinct vertices; each
-    coarser scale roughly halves lattice resolution so occupancy shrinks
-    geometrically.  Tune with ``tools/measure_capacities.py`` on real data.
+    Counts are NOT monotone down the pyramid (a mild coarsening step grows
+    the table — each vertex splats into d+1 coarser-simplex corners), so
+    the defaults are measured on synthetic FT3D-like clouds at
+    ``num_points`` rather than modeled with a decay heuristic.  Tune with
+    ``tools/measure_capacities.py`` on real data.
     """
-    caps = []
-    n = num_points
-    prev_scale = None
-    for row in scales:
-        scale = float(row[0])
-        if prev_scale is None:
-            cap = 3 * n
-        else:
-            shrink = max(1.0, (prev_scale / scale) ** 1.5)
-            cap = max(64, int(caps[-1] / shrink))
-        caps.append(int(cap))
-        prev_scale = scale
-    return caps
+    from .capacity import measured_default_capacities
+    return measured_default_capacities(num_points, scales, d=d)

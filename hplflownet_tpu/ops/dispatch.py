@@ -51,7 +51,15 @@ def exact_mode_active() -> bool:
 
 
 def rank_fused_enabled() -> bool:
-    """Fused single-pass rank reduction on/off (A/B: HPL_RANK_FUSED=0)."""
+    """Fused single-pass rank reduction (ops/segment._wr_rank_fused).
+
+    DEFAULT OFF: the single-pass kernel re-reads ~2 windows of the sorted
+    stream per 1024-rank super-block, and at the model's M/T ratios that
+    amplification beats the partial-plane traffic it saves — measured
+    30.9 ms fwd / 69.0 ms train with it on vs 23.7 / 62 off (TPU v5e,
+    8192-pt pairs, 2026-08-19).  Kept behind HPL_RANK_FUSED=1 for shapes
+    where it could win (very wide C with high T/M) and for the tests.
+    """
     if _EXACT_MODE.get():
         return False
-    return os.environ.get("HPL_RANK_FUSED", "1") == "1"
+    return os.environ.get("HPL_RANK_FUSED", "0") == "1"

@@ -22,12 +22,21 @@ def _batch_sharding(mesh: Mesh, data_axis: str):
 
 
 def shard_batch(batch: dict, mesh: Mesh, data_axis: str = "data") -> dict:
-    """Device-put batch arrays sharded on their leading (batch) axis."""
+    """Device-put batch arrays sharded on their leading (batch) axis.
+
+    Single-process: plain sharded device_put.  Multi-process (after
+    ``parallel.distributed.initialize``): each process passes only its OWN
+    slice of the global batch (``process_local_batch_slice``) and the global
+    array is assembled from the per-process shards without any cross-host
+    data movement."""
     sh = _batch_sharding(mesh, data_axis)
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if k == "path":
             out[k] = v
+        elif multiprocess:
+            out[k] = jax.make_array_from_process_local_data(sh, np.asarray(v))
         else:
             out[k] = jax.device_put(np.asarray(v), sh)
     return out

@@ -379,12 +379,14 @@ def test_rank_fused_matches_weighted_reduce_on_builder_plan():
         [[1.0, 1, 1, 1], [0.5, 1, 1, 1]], capacities=[1024, 1024])
     scales = jax.jit(lambda a, b: build_pyramid(spec, a, b))(pc1, pc2)
 
-    rows = rng.randn(n, c).astype(np.float32)
     for sp in scales:
         for plan, bary in ((sp.pc1_splat_plan, sp.pc1_barycentric),
                            (sp.pc2_splat_plan, sp.pc2_barycentric)):
             assert int(np.asarray(rank_reduce_overflow(plan))) == 0
             weights = np.asarray(bary).astype(np.float32)
+            # deeper scales splat the previous scale's vertex rows, so the
+            # row count follows the plan (N = M / d1), not the point count
+            rows = rng.randn(weights.shape[0], c).astype(np.float32)
             r = weights.shape[1]
             assert r == d1
             for with_w in (False, True):

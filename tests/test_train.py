@@ -90,12 +90,16 @@ def test_overflow_skip_discards_update():
     model = HPLFlowNetShallow(scales_filter_map=SFM5)
     batch = make_batch()
     scales = build_pyramid(spec, batch["pc1"][0], batch["pc2"][0])
-    params = model.init(jax.random.PRNGKey(0), batch["pc1"][0],
-                        batch["pc2"][0], scales)
+    params_np = jax.device_get(model.init(
+        jax.random.PRNGKey(0), batch["pc1"][0], batch["pc2"][0], scales))
+
+    def fresh_params():
+        # the train step donates its state; each init needs live buffers
+        return jax.tree_util.tree_map(jnp.asarray, params_np)
 
     init_state, train_step = make_train_step(model, spec, learning_rate=1e-3,
                                              on_overflow="skip")
-    state = init_state(params)
+    state = init_state(fresh_params())
     before = [np.asarray(x).copy()
               for x in jax.tree_util.tree_leaves(state.params)]
     state, loss, overflow = train_step.with_overflow(state, batch)
@@ -109,7 +113,7 @@ def test_overflow_skip_discards_update():
     # keep-mode applies the (inexact) update on the same batch
     init_state, train_step = make_train_step(model, spec, learning_rate=1e-3,
                                              on_overflow="keep")
-    state = init_state(params)
+    state = init_state(fresh_params())
     state, _, overflow = train_step.with_overflow(state, batch)
     assert int(overflow) > 0
     after = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]

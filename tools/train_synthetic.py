@@ -105,10 +105,16 @@ def nn_oracle_epe(pc1, pc2, sf):
     matching floor is zero and any held-out plateau is a model-capacity /
     optimization effect, not a correspondence-ambiguity ceiling."""
     tot = 0.0
+    n = pc1.shape[1]
+    chunk = max(1, (1 << 22) // n)   # keep the (chunk, N, 3) block ~100 MB
     for i in range(pc1.shape[0]):
-        d = np.linalg.norm(pc1[i, :, None, :] + sf[i, :, None, :]
-                           - pc2[i, None, :, :], axis=-1)   # (N, N)
-        tot += float(d.min(axis=1).mean())
+        mins = []
+        tgt = pc1[i] + sf[i]
+        for s in range(0, n, chunk):
+            d = np.linalg.norm(tgt[s:s + chunk, None, :]
+                               - pc2[i, None, :, :], axis=-1)
+            mins.append(d.min(axis=1))
+        tot += float(np.concatenate(mins).mean())
     return tot / pc1.shape[0]
 
 
@@ -145,6 +151,11 @@ def main():
     # on the 12-patch task; more data + a longer schedule push past it)
     ap.add_argument("--train-pairs", type=int, default=TRAIN_PAIRS)
     ap.add_argument("--val-pairs", type=int, default=VAL_PAIRS)
+    # the flagship 7-scale model (SFM7 + bench capacities at 8192 points,
+    # reusing the bench graph's compile cache; measured capacities
+    # otherwise)
+    ap.add_argument("--arch", default="HPLFlowNetShallow",
+                    choices=("HPLFlowNetShallow", "HPLFlowNet"))
     args = ap.parse_args()
 
     import jax
@@ -153,7 +164,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from hplflownet_tpu.models import HPLFlowNetShallow
+    from hplflownet_tpu.models import HPLFlowNet, HPLFlowNetShallow
     from hplflownet_tpu.pipeline import make_lattice_spec
     from hplflownet_tpu.lattice import build_pyramid
     from hplflownet_tpu.train.step import (make_train_step, make_eval_step,
@@ -164,15 +175,26 @@ def main():
     tr1, tr2, trf = make_dataset(n_train, n_pts, seed=100,
                                  patches=args.patches)
 
-    # capacities: measured worst counts on this distribution over both
-    # splits at 1024 points (2853/2186/644/202/87), padded 1.2x and
-    # 128-aligned; scaled proportionally for other point counts (vertex
-    # count grows ~linearly in points on these surface clouds); the
-    # per-step overflow counter in the log confirms zero degradation
-    base_caps = [3456, 2688, 896, 256, 128]
-    caps = [max(128, -(-int(c * n_pts / NUM_POINTS) // 128) * 128)
-            for c in base_caps]
-    spec = make_lattice_spec(SFM5, capacities=caps)
+    if args.arch == "HPLFlowNet":
+        from bench import CAPACITIES as BENCH_CAPS, SFM7
+        sfm = SFM7
+        if n_pts == 8192:
+            caps = BENCH_CAPS  # identical spec to bench => compile-cache hit
+        else:
+            from hplflownet_tpu.lattice.capacity import (
+                measured_default_capacities)
+            caps = measured_default_capacities(n_pts, SFM7)
+    else:
+        sfm = SFM5
+        # capacities: measured worst counts on this distribution over both
+        # splits at 1024 points (2853/2186/644/202/87), padded 1.2x and
+        # 128-aligned; scaled proportionally for other point counts (vertex
+        # count grows ~linearly in points on these surface clouds); the
+        # per-step overflow counter in the log confirms zero degradation
+        base_caps = [3456, 2688, 896, 256, 128]
+        caps = [max(128, -(-int(c * n_pts / NUM_POINTS) // 128) * 128)
+                for c in base_caps]
+    spec = make_lattice_spec(sfm, capacities=caps)
     tr1, tr2, trf = resample_overflowing(spec, tr1, tr2, seed=100,
                                          patches=args.patches)
     if args.overfit:
@@ -185,8 +207,8 @@ def main():
         va1, va2, vaf = resample_overflowing(spec, va1, va2, seed=999,
                                              patches=args.patches)
         n_val = args.val_pairs
-    model = HPLFlowNetShallow(scales_filter_map=SFM5,
-                              compute_dtype="bfloat16")
+    model_cls = HPLFlowNet if args.arch == "HPLFlowNet" else HPLFlowNetShallow
+    model = model_cls(scales_filter_map=sfm, compute_dtype="bfloat16")
 
     ones = jnp.ones((1, n_pts), bool)
     # jitted setup: eager op-by-op dispatch through the axon tunnel is
@@ -262,7 +284,7 @@ def main():
 
     os.makedirs("/root/repo/training_runs", exist_ok=True)
     out = {
-        "model": "HPLFlowNetShallow", "platform": jax.default_backend(),
+        "model": args.arch, "platform": jax.default_backend(),
         "points": n_pts, "overfit": bool(args.overfit),
         "train_pairs": n_train, "val_pairs": n_val,
         "lr": args.lr, "steps": args.steps, "patches": args.patches,
