@@ -65,6 +65,14 @@ __all__ = [
 _DELTA_MARGIN = 16   # headroom for stencil deltas (|combined offset| <= 8)
 _SENTINEL = np.int32(np.iinfo(np.int32).max)
 
+# Fused dual-cloud structures tag the cloud in bit 30 of the packed low
+# word (every real packed field is range-guarded below 2^30 - 1, and a
+# 1-coord low word of the two-word layout is < 2^15).  The per-cloud
+# sentinel tag | _SENT_LO sorts above every real key of its cloud and
+# below the other cloud's, keeping fused arrays globally sorted.
+_TAG_BIT = 30
+_SENT_LO = np.int32((1 << 30) - 1)
+
 
 def _num_words(d: int, bits: int) -> int:
     """Words per packed key: 1 when all d stored coords fit 30 bits."""
@@ -234,10 +242,10 @@ def _unpack_keys(words, d: int, bits: int) -> jax.Array:
 # --- word-tuple helpers (probes/sorts are generic over 1- or 2-word keys) ---
 
 def _w_all_sentinel(words):
-    m = words[0] == _SENTINEL
-    for w in words[1:]:
-        m = m & (w == _SENTINEL)
-    return m
+    # a real packed low word never reaches 2^30 - 1 (fields are
+    # range-guarded), so the low 30 bits identify every sentinel form:
+    # the global _SENTINEL and the tagged per-cloud `tag | _SENT_LO`
+    return (words[0] & _SENT_LO) == _SENT_LO
 
 
 def _w_where(cond, words, fill):
@@ -295,17 +303,19 @@ def _probe_with_overflow(vw, qw):
     return idx, found, jnp.zeros((qw[0].shape[0],), jnp.int32)
 
 
-def _probe_dispatch(vw, qw, rows_sorted=False, bw=_PROBE_BW_CORR):
+def _probe_dispatch(vw, qw, rows_sorted=False, bw=_PROBE_BW_CORR,
+                    block_caps=None):
     """Route to the plain/windowed probe or the tap-sharded shard_map version.
 
     ``vw``/``qw`` are packed-key word tuples (1 or 2 int32 arrays each).
     Returns ``(idx, found, overflow)`` with ``overflow`` a per-tap count of
-    window-overflowed queries (always 0 on the sort path).
+    window-overflowed queries (always 0 on the sort path).  ``block_caps``
+    is forwarded to the windowed probe (fused dual-cloud tables).
     """
     from ..ops.dispatch import exact_mode_active
     if rows_sorted and not exact_mode_active():
         def probe(v, q):
-            return _probe_rows_sorted(v, q, bw=bw)
+            return _probe_rows_sorted(v, q, bw=bw, block_caps=block_caps)
     else:
         # exact mode routes even sorted rows through the window-free
         # sort-merge join (no degrade; overflow identically 0)
@@ -463,7 +473,7 @@ def _lower_bound_2level(vw, qw, with_found: bool = False):
     return lt.reshape(shape), found.reshape(shape)
 
 
-def _probe_rows_sorted(vw, qw, bw=_PROBE_BW_CORR):
+def _probe_rows_sorted(vw, qw, bw=_PROBE_BW_CORR, block_caps=None):
     """Windowed probe for row-sorted queries (word-tuple keys).
 
     Returns ``(idx, found, overflow)``: like :func:`_probe` plus a per-tap
@@ -473,6 +483,11 @@ def _probe_rows_sorted(vw, qw, bw=_PROBE_BW_CORR):
     and counted), never a wrong index.  On FT3D-like clouds spans are ~210
     at B=128 (see _PROBE_W) so overflow is zero in practice; callers surface
     the counter through ``ScalePair.probe_overflow``.
+
+    ``block_caps`` (optional, (H/B,) i32) overrides the default scalar
+    valid-table-size cap on each query block's result-position bound —
+    the fused dual-cloud probe passes per-segment caps because its table's
+    real entries live in two runs ``[0, r_a) ∪ [H_a, H_a + r_b)``.
     """
     f, h = qw[0].shape
     n_t = vw[0].shape[0]
@@ -502,10 +517,15 @@ def _probe_rows_sorted(vw, qw, bw=_PROBE_BW_CORR):
     # their results are discarded by the callers' vertex_valid masking, so
     # they must not flag overflow.  Clamping/aligning start only
     # strengthens the condition.
-    n_valid_t = jnp.sum((~_w_all_sentinel(vw)).astype(jnp.int32))
-    bound = jnp.concatenate(
-        [lt[:, 1:], jnp.full((f, 1), 0, jnp.int32) + n_valid_t], axis=1)
-    bound = jnp.minimum(bound, n_valid_t)
+    if block_caps is None:
+        cap_row = jnp.sum((~_w_all_sentinel(vw)).astype(jnp.int32))  # scalar
+        last = jnp.full((f, 1), 0, jnp.int32) + cap_row
+    else:
+        assert block_caps.shape == (nb,), (block_caps.shape, nb)
+        cap_row = block_caps[None, :]                                # (1, nb)
+        last = jnp.broadcast_to(block_caps[-1], (f, 1))
+    bound = jnp.concatenate([lt[:, 1:], last], axis=1)
+    bound = jnp.minimum(bound, cap_row)
     block_ok = bound + 1 - start <= w                             # (f, nb)
 
     tpad = n_t_pad - n_t
@@ -680,6 +700,151 @@ def _build_from_elevated(
     )
 
 
+def _build_two_from_elevated(
+    geom: PermutohedralGeometry,
+    elev1: jax.Array,        # (N, d1) float32
+    valid1: jax.Array,       # (N,) bool
+    elev2: jax.Array,        # (N, d1) float32 — same N as elev1
+    valid2: jax.Array,
+    capacity: int,
+    bits: int = 10,
+) -> tuple:
+    """Both clouds' lattices from ONE tagged sort (exact parity with two
+    :func:`_build_from_elevated` calls).
+
+    The fwd op profile is dominated by a ~9 ms tail of thousands of small
+    builder ops (sorts, cumsums, dense bounds) repeated per cloud per
+    scale; fusing the clouds halves that op count.  A cloud tag in bit 30
+    of the packed low word dominates the lexicographic order, so one
+    2m-entry sort yields ``[cloud1 sorted | cloud2 sorted]`` with each
+    block's sentinels at its own tail (per-cloud sentinel ``tag | 2^30-1``
+    sorts above every real key of its cloud and below the other cloud's).
+    Each cloud's entries occupy exactly m sorted positions, so every
+    per-cloud quantity is a static slice; dense ranks are recovered from
+    the global rank cumsum by subtracting cloud 1's unique count.  The
+    stable sort keeps equal keys in original relative order, making the
+    permutation (and hence splat-plan lranks) bit-identical to the
+    standalone builds.
+    """
+    assert elev1.shape == elev2.shape, (elev1.shape, elev2.shape)
+    d = geom.d
+    d1 = d + 1
+    n = elev1.shape[0]
+    m = n * d1
+    valid_in = jnp.concatenate([valid1, valid2])
+    kb = geom.simplex_from_elevated(
+        jnp.concatenate([elev1, elev2], axis=0))
+
+    bound = (1 << (bits - 1)) - 1 - _DELTA_MARGIN
+    in_range = jnp.all(jnp.abs(kb.keys) <= bound, axis=(-2, -1))   # (2N,)
+    rdrop = (valid_in & ~in_range).astype(jnp.int32)
+    range_dropped = (jnp.sum(rdrop[:n]), jnp.sum(rdrop[n:]))
+    valid = valid_in & in_range
+
+    words = _pack_keys(kb.keys, d, bits)                   # (2N, d1) each
+    tag = (jnp.arange(2 * n, dtype=jnp.int32)[:, None] >= n
+           ).astype(jnp.int32) << _TAG_BIT
+    w0 = jnp.where(valid[:, None], words[0] | tag, tag | _SENT_LO)
+    rest = tuple(jnp.where(valid[:, None], w, _SENT_LO) for w in words[1:])
+    flat = (w0.reshape(-1), *(w.reshape(-1) for w in rest))
+    nw = len(flat)
+    iota = jnp.arange(2 * m, dtype=jnp.int32)
+    sorted_all = jax.lax.sort((*flat, iota), num_keys=nw)
+    sw = sorted_all[:nw]
+    perm = sorted_all[nw]
+    real = (sw[0] & _SENT_LO) != _SENT_LO
+    diff = sw[0][1:] != sw[0][:-1]
+    for w in sw[1:]:
+        diff = diff | (w[1:] != w[:-1])
+    is_new = jnp.concatenate([jnp.ones((1,), bool), diff]) & real
+
+    isn32 = is_new.astype(jnp.int32)
+    nu1 = jnp.sum(isn32[:m])
+    nu2 = jnp.sum(isn32[m:])
+    real32 = real.astype(jnp.int32)
+    total_real = (jnp.sum(real32[:m]), jnp.sum(real32[m:]))
+    ranks_g = jnp.cumsum(isn32) - 1                         # (2m,)
+
+    # fused 2-level dense lower bounds: cloud 2's rank-q run starts where
+    # the global rank first reaches q + nu1 (every cloud-1 entry, sentinel
+    # rows included, carries a global rank < nu1 + q)
+    lane = 128
+    mm = 2 * m
+    mp = -(-mm // lane) * lane
+    rk = ranks_g
+    if mp != mm:
+        rk = jnp.concatenate([rk, jnp.full(mp - mm, 1 << 29, jnp.int32)])
+    nbk = mp // lane
+    qb = jnp.arange(capacity + 1, dtype=jnp.int32)
+    q = jnp.concatenate([qb, qb + nu1])                    # (2(cap+1),)
+    r0b = rk[::lane]
+    b0 = jnp.sum((r0b[None, :] < q[:, None]).astype(jnp.int32), axis=1)
+    safe_b = jnp.maximum(b0 - 1, 0)
+    rows_rk = rk.reshape(nbk, lane)[safe_b]
+    inblock = jnp.sum((rows_rk < q[:, None]).astype(jnp.int32), axis=1)
+    starts_all = jnp.minimum(
+        jnp.where(b0 == 0, 0, (b0 - 1) * lane + inblock), mm)
+
+    # one fused unsort of the dense ids (per-cloud ranks, capacity-clipped)
+    ranks_local = jnp.concatenate([ranks_g[:m], ranks_g[m:] - nu1])
+    ids_sorted = jnp.where(real & (ranks_local < capacity), ranks_local, -1)
+    _, ids_flat = jax.lax.sort((perm, ids_sorted), num_keys=1)
+
+    same_prev = jnp.concatenate([jnp.zeros((1,), bool), ~diff])
+    sw_blocks = tuple(
+        (jnp.concatenate([w, jnp.full(mp - mm, _SENTINEL, jnp.int32)])
+         if mp != mm else w).reshape(nbk, lane)
+        for w in sw)
+
+    out = []
+    for c in range(2):
+        lo = c * m
+        nu = nu1 if c == 0 else nu2
+        starts_sorted = starts_all[c * (capacity + 1):(c + 1) * (capacity + 1)] - lo
+        tre = total_real[c]
+
+        ranks_idx = jnp.arange(capacity, dtype=jnp.int32)
+        rank_live = ranks_idx < nu
+        vertex_start = jnp.where(rank_live, starts_sorted[:capacity], tre)
+        vertex_end = jnp.where(ranks_idx + 1 < nu,
+                               starts_sorted[1:capacity + 1], tre)
+        vertex_end = jnp.where(rank_live, vertex_end, vertex_start)
+        vertex_valid = vertex_start < vertex_end
+
+        safe_pos = jnp.minimum(starts_sorted[:capacity] + lo, mm - 1)
+        sel = (jnp.arange(lane, dtype=jnp.int32)[None, :]
+               == (safe_pos & (lane - 1))[:, None])
+        raw = tuple(
+            jnp.sum(jnp.where(sel, wb[safe_pos >> 7], 0), axis=1)
+            for wb in sw_blocks)
+        vkeys = (jnp.where(vertex_valid, raw[0] & _SENT_LO, _SENTINEL),
+                 *(jnp.where(vertex_valid, w, _SENTINEL) for w in raw[1:]))
+
+        lattice_offset = ids_flat[lo:lo + m].reshape(n, d1)
+        bary = jnp.where(valid[c * n:(c + 1) * n, None],
+                         kb.barycentric[c * n:(c + 1) * n], 0.0)
+        emg = jnp.where(valid[c * n:(c + 1) * n, None],
+                        kb.el_minus_gr[c * n:(c + 1) * n], 0.0)
+        splat_plan = ReducePlan(
+            ids=lattice_offset.reshape(-1),
+            perm=perm[lo:lo + m] - lo,
+            start=vertex_start, end=vertex_end,
+            lrank=local_ranks(same_prev[lo:lo + m]),
+            r0=ranks_local[lo:lo + m:128])
+        out.append(CloudLattice(
+            lattice_offset=lattice_offset,
+            barycentric=bary,
+            el_minus_gr=emg,
+            vkeys=vkeys,
+            vertex_valid=vertex_valid,
+            num_valid=jnp.minimum(nu, capacity).astype(jnp.int32),
+            overflow=(jnp.maximum(nu - capacity, 0)
+                      + range_dropped[c]).astype(jnp.int32),
+            splat_plan=splat_plan,
+        ))
+    return out[0], out[1]
+
+
 def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int,
                     bits: int = 10):
     """((F, H) blur-neighbor ids, window-overflow count); -1 = absent."""
@@ -702,6 +867,88 @@ def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int,
     self_row = jnp.where(cl.vertex_valid, iota, -1)[None, :]
     rest = jnp.where(ok, idx, -1).astype(jnp.int32)
     return jnp.concatenate([self_row, rest], axis=0), jnp.sum(oflow)
+
+
+def _tag_words(words, tag: int):
+    """Tag a key-word tuple's low word with the cloud bit.  Sentinel entries
+    (detected by the low-30-bit pattern, any form) become the per-cloud
+    sentinel ``tag | _SENT_LO`` so fused arrays stay sorted."""
+    sent = _w_all_sentinel(words)
+    t = np.int32(tag << _TAG_BIT)
+    w0 = jnp.where(sent, t | _SENT_LO, words[0] | t)
+    rest = tuple(jnp.where(sent, _SENT_LO, w) for w in words[1:])
+    return (w0, *rest)
+
+
+def _probe_two(vwa, ra, qa, vwb, rb, qb, bw):
+    """Fused windowed probe of (table_a, queries_a) and (table_b, queries_b).
+
+    One probe over the tagged fused table ``[a | b]`` and column-concatenated
+    tagged queries — the probes' fixed op costs (boundary bounds, window
+    fetch plumbing) are paid once instead of twice.  Requires equal leading
+    (tap) dims and sentinel-masked inputs; returns ``(idx_a, found_a,
+    idx_b, found_b, overflow_sum)`` with b's indices rebased to its own
+    table.  Falls back to two plain probes when the block size straddles
+    the seam, under probe shard_map, or in exact mode.
+
+    ``ra``/``rb`` are the tables' real-entry counts (CloudLattice.num_valid):
+    a fused table's real entries live in two runs ``[0, ra) ∪ [Ha, Ha+rb)``,
+    so the windowed probe gets per-segment position caps.
+    """
+    import os
+    ha = vwa[0].shape[0]
+    hb = vwb[0].shape[0]
+    b = bw[0]
+    from ..ops.dispatch import exact_mode_active
+    fuse = (ha % b == 0 and hb % b == 0
+            and qa[0].shape[1] == ha and qb[0].shape[1] == hb
+            and qa[0].shape[0] == qb[0].shape[0]
+            and _PROBE_MESH.get() is None and not exact_mode_active()
+            and os.environ.get("HPL_FUSED_BUILD", "0") == "1")
+    if not fuse:
+        ia, fa, oa = _probe_dispatch(vwa, qa, rows_sorted=True, bw=bw)
+        ib, fb, ob = _probe_dispatch(vwb, qb, rows_sorted=True, bw=bw)
+        return ia, fa, ib, fb, jnp.sum(oa) + jnp.sum(ob)
+
+    vt = tuple(jnp.concatenate([x, y]) for x, y in
+               zip(_tag_words(vwa, 0), _tag_words(vwb, 1)))
+    qw = tuple(jnp.concatenate([x, y], axis=1) for x, y in zip(
+        _tag_words(qa, 0), _tag_words(qb, 1)))
+    caps = jnp.concatenate([
+        jnp.broadcast_to(ra, (ha // b,)),
+        jnp.broadcast_to(ha + rb, (hb // b,))]).astype(jnp.int32)
+    idx, found, oflow = _probe_dispatch(vt, qw, rows_sorted=True, bw=bw,
+                                        block_caps=caps)
+    return (idx[:, :ha], found[:, :ha],
+            idx[:, ha:] - ha, found[:, ha:], jnp.sum(oflow))
+
+
+def _neighbor_table_two(cl1: CloudLattice, cl2: CloudLattice,
+                        offsets: np.ndarray, d: int, bits: int = 10):
+    """Both clouds' blur-neighbor tables from one fused probe."""
+    assert not offsets[0].any(), "stencil row 0 must be the zero offset"
+    deltas = _pack_deltas(offsets[1:], d, bits)
+
+    def queries(cl):
+        return _w_where(cl.vertex_valid[None, :],
+                        tuple(dv[:, None] + v[None, :]
+                              for dv, v in zip(deltas, cl.vkeys)),
+                        _SENTINEL)
+
+    i1, f1, i2, f2, oflow = _probe_two(
+        cl1.vkeys, cl1.num_valid, queries(cl1),
+        cl2.vkeys, cl2.num_valid, queries(cl2),
+        _PROBE_BW_BLUR)
+
+    def table(cl, idx, found):
+        ok = found & cl.vertex_valid[None, :]
+        h = cl.vkeys[0].shape[0]
+        iota = jnp.arange(h, dtype=jnp.int32)
+        self_row = jnp.where(cl.vertex_valid, iota, -1)[None, :]
+        rest = jnp.where(ok, idx, -1).astype(jnp.int32)
+        return jnp.concatenate([self_row, rest], axis=0)
+
+    return table(cl1, i1, f1), table(cl2, i2, f2), oflow
 
 
 def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
@@ -750,24 +997,28 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
     uniq, inverse = np.unique(combined, axis=0, return_inverse=True)
 
     qw = offset_queries(uniq, cl1.vkeys, ok_v)
-    idx2, found2, oflow2 = _probe_dispatch(cl2.vkeys, qw, rows_sorted=True)
-    probe_overflow = probe_overflow + jnp.sum(oflow2)
-    ok2 = found2 & ok_v
-    uniq_tab = jnp.where(ok2, idx2, -1).astype(jnp.int32)   # (U, H1)
-
     nf, nc = filter_offsets.shape[0], corr_offsets.shape[0]
-    inverse = jnp.asarray(inverse.astype(np.int32).reshape(nf, nc))
+    inverse_m = jnp.asarray(inverse.astype(np.int32).reshape(nf, nc))
 
     uniq_inv = jnp.zeros((1, 1), dtype=jnp.int32)
     if with_inverse:
+        # fuse the forward (cloud1 keys + delta into table 2) and adjoint
+        # (cloud2 keys - delta into table 1) probes: one windowed pass
         ok_v2 = cl2.vertex_valid[None, :]
         rw = offset_queries(-uniq, cl2.vkeys, ok_v2)
-        idx3, found3, oflow3 = _probe_dispatch(cl1.vkeys, rw,
-                                               rows_sorted=True)
-        probe_overflow = probe_overflow + jnp.sum(oflow3)
+        idx2, found2, idx3, found3, of23 = _probe_two(
+            cl2.vkeys, cl2.num_valid, qw,
+            cl1.vkeys, cl1.num_valid, rw, _PROBE_BW_CORR)
+        probe_overflow = probe_overflow + of23
         ok3 = found3 & ok_v2
         uniq_inv = jnp.where(ok3, idx3, -1).astype(jnp.int32)  # (U, H2)
-    return pc1_corr, uniq_tab, inverse, uniq_inv, probe_overflow
+    else:
+        idx2, found2, oflow2 = _probe_dispatch(cl2.vkeys, qw,
+                                               rows_sorted=True)
+        probe_overflow = probe_overflow + jnp.sum(oflow2)
+    ok2 = found2 & ok_v
+    uniq_tab = jnp.where(ok2, idx2, -1).astype(jnp.int32)   # (U, H1)
+    return pc1_corr, uniq_tab, inverse_m, uniq_inv, probe_overflow
 
 
 def _next_elevated(geom: PermutohedralGeometry, cl: CloudLattice,
@@ -829,10 +1080,26 @@ def build_pyramid(
     elev2 = geom.elevate(pc2, spec.scales[0].scale)
 
     bits = spec.coord_bits
+    import os
+    # DEFAULT OFF: fusing the two clouds' builds+probes halves the op count
+    # but RAISES real volume — the level-1 dense bounds compare every query
+    # against 2x the block-first keys, and the 2x-length sort is
+    # super-linear — measured 24.7 ms fwd / 62.1 train vs 23.3 / 61.7
+    # unfused (TPU v5e, 8192-pt pairs, 2026-08-19).  Kept (parity-tested)
+    # behind HPL_FUSED_BUILD=1 for shapes where op-count dominates.
+    fuse_builds = os.environ.get("HPL_FUSED_BUILD", "0") == "1"
     scales_out = []
     for i, ss in enumerate(spec.scales):
-        cl1 = _build_from_elevated(geom, elev1, valid1, ss.capacity, bits)
-        cl2 = _build_from_elevated(geom, elev2, valid2, ss.capacity, bits)
+        if fuse_builds and elev1.shape == elev2.shape:
+            # one tagged sort builds both clouds (exact; halves the
+            # builder's small-op tail — see _build_two_from_elevated)
+            cl1, cl2 = _build_two_from_elevated(
+                geom, elev1, valid1, elev2, valid2, ss.capacity, bits)
+        else:
+            cl1 = _build_from_elevated(geom, elev1, valid1, ss.capacity,
+                                       bits)
+            cl2 = _build_from_elevated(geom, elev2, valid2, ss.capacity,
+                                       bits)
 
         from ..ops.pallas_stencil import (BLUR_WINDOW, CORR_INV_BLOCK,
                                           CORR_INV_WINDOW, CORR_WINDOW,
@@ -861,9 +1128,14 @@ def build_pyramid(
             return stencil_overflow_count(table, capacity, window, **kw)
         if ss.blur_radius != -1:
             offs = neighborhood_offsets(ss.blur_radius, spec.d)
-            nb1, of1 = _neighbor_table(cl1, offs, spec.d, bits)
-            nb2, of2 = _neighbor_table(cl2, offs, spec.d, bits)
-            probe_oflow = probe_oflow + of1 + of2
+            if fuse_builds:
+                nb1, nb2, of12 = _neighbor_table_two(cl1, cl2, offs,
+                                                     spec.d, bits)
+                probe_oflow = probe_oflow + of12
+            else:
+                nb1, of1 = _neighbor_table(cl1, offs, spec.d, bits)
+                nb2, of2 = _neighbor_table(cl2, offs, spec.d, bits)
+                probe_oflow = probe_oflow + of1 + of2
             stencil_oflow = (stencil_oflow
                              + _soc(nb1, ss.capacity, BLUR_WINDOW)
                              + _soc(nb2, ss.capacity, BLUR_WINDOW))

@@ -333,3 +333,138 @@ def test_windowed_probe_overflow_degrades_to_absent():
     # drops happen only in overflowed blocks
     dropped = slow_found & ~fast_found
     assert dropped.sum() <= int(np.asarray(oflow).sum())
+
+
+def test_fused_dual_cloud_build_exact_parity():
+    """_build_two_from_elevated must be bit-identical to two standalone
+    _build_from_elevated calls on every CloudLattice field (incl. the splat
+    plan) — the fused tagged sort is a pure op-count optimization."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hplflownet_tpu.lattice.build import (_build_from_elevated,
+                                              _build_two_from_elevated)
+    from hplflownet_tpu.lattice.geometry import PermutohedralGeometry
+
+    geom = PermutohedralGeometry(d=3)
+    rng = np.random.RandomState(5)
+    for n, cap, scale in ((96, 512, 1.0), (160, 256, 0.5), (64, 96, 2.0)):
+        pc1 = rng.randn(n, 3).astype(np.float32) * 3.0
+        pc2 = pc1 + 0.2 * rng.randn(n, 3).astype(np.float32)
+        v1 = rng.rand(n) > 0.1
+        v2 = rng.rand(n) > 0.1
+        e1 = geom.elevate(jnp.asarray(pc1), scale)
+        e2 = geom.elevate(jnp.asarray(pc2), scale)
+
+        @jax.jit
+        def both(e1, e2, v1, v2):
+            a1 = _build_from_elevated(geom, e1, v1, cap)
+            a2 = _build_from_elevated(geom, e2, v2, cap)
+            b1, b2 = _build_two_from_elevated(geom, e1, v1, e2, v2, cap)
+            return a1, a2, b1, b2
+
+        a1, a2, b1, b2 = both(e1, e2, jnp.asarray(v1), jnp.asarray(v2))
+        for a, b, name in ((a1, b1, "pc1"), (a2, b2, "pc2")):
+            for fa, fb, field in zip(a, b, a._fields):
+                if field == "splat_plan":
+                    for pa, pb, pf in zip(fa, fb, fa._fields):
+                        np.testing.assert_array_equal(
+                            np.asarray(pa), np.asarray(pb),
+                            err_msg=f"{name}.splat_plan.{pf}")
+                elif isinstance(fa, tuple):  # vkeys word tuple
+                    for wa, wb in zip(fa, fb):
+                        np.testing.assert_array_equal(
+                            np.asarray(wa), np.asarray(wb),
+                            err_msg=f"{name}.{field}")
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(fa), np.asarray(fb),
+                        err_msg=f"{name}.{field}")
+
+
+def test_fused_dual_cloud_build_capacity_overflow_parity():
+    """Overflow clipping must match the standalone builds exactly."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hplflownet_tpu.lattice.build import (_build_from_elevated,
+                                              _build_two_from_elevated)
+    from hplflownet_tpu.lattice.geometry import PermutohedralGeometry
+
+    geom = PermutohedralGeometry(d=3)
+    rng = np.random.RandomState(9)
+    n, cap = 128, 64   # far under the ~500 occupied vertices -> overflow
+    pc1 = rng.randn(n, 3).astype(np.float32) * 3.0
+    pc2 = rng.randn(n, 3).astype(np.float32) * 3.0
+    e1 = geom.elevate(jnp.asarray(pc1), 1.0)
+    e2 = geom.elevate(jnp.asarray(pc2), 1.0)
+    ones = jnp.ones(n, bool)
+
+    @jax.jit
+    def both(e1, e2):
+        a1 = _build_from_elevated(geom, e1, ones, cap)
+        a2 = _build_from_elevated(geom, e2, ones, cap)
+        b1, b2 = _build_two_from_elevated(geom, e1, ones, e2, ones, cap)
+        return a1, a2, b1, b2
+
+    a1, a2, b1, b2 = both(e1, e2)
+    assert int(a1.overflow) > 0
+    for a, b in ((a1, b1), (a2, b2)):
+        assert int(a.overflow) == int(b.overflow)
+        assert int(a.num_valid) == int(b.num_valid)
+        np.testing.assert_array_equal(np.asarray(a.lattice_offset),
+                                      np.asarray(b.lattice_offset))
+        for wa, wb in zip(a.vkeys, b.vkeys):
+            np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+
+
+def test_fused_pyramid_matches_unfused_end_to_end():
+    """HPL_FUSED_BUILD=1 (fused dual-cloud sorts + fused probes) must yield
+    a pyramid identical to the unfused path in every index table, plan and
+    counter, including the corr inverse tables (adjoint_plans=True)."""
+    import os
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hplflownet_tpu.lattice import build_pyramid
+    from hplflownet_tpu.pipeline import make_lattice_spec
+
+    rng = np.random.RandomState(11)
+    n = 96
+    pc1 = rng.randn(n, 3).astype(np.float32) * 3.0
+    pc2 = pc1 + 0.2 * rng.randn(n, 3).astype(np.float32)
+    v1 = jnp.asarray(rng.rand(n) > 0.08)
+    v2 = jnp.asarray(rng.rand(n) > 0.08)
+    # 128-multiple capacities engage the fused probe's seam condition
+    spec = make_lattice_spec(
+        [[1.0, 1, 1, 1], [0.5, 1, 1, 1], [0.25, 1, 1, 1]],
+        capacities=[512, 640, 384])
+
+    def run():
+        return jax.jit(lambda a, b, u, v: build_pyramid(
+            spec, a, b, u, v, adjoint_plans=True))(
+                jnp.asarray(pc1), jnp.asarray(pc2), v1, v2)
+
+    old = os.environ.get("HPL_FUSED_BUILD")
+    try:
+        os.environ["HPL_FUSED_BUILD"] = "1"
+        fused = run()
+        os.environ["HPL_FUSED_BUILD"] = "0"
+        unfused = run()
+    finally:
+        if old is None:
+            os.environ.pop("HPL_FUSED_BUILD", None)
+        else:
+            os.environ["HPL_FUSED_BUILD"] = old
+
+    for si, (a, b) in enumerate(zip(fused, unfused)):
+        for fa, fb, field in zip(a, b, a._fields):
+            if hasattr(fa, "_fields"):     # ReducePlan
+                for pa, pb, pf in zip(fa, fb, fa._fields):
+                    np.testing.assert_array_equal(
+                        np.asarray(pa), np.asarray(pb),
+                        err_msg=f"scale{si}.{field}.{pf}")
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(fa), np.asarray(fb),
+                    err_msg=f"scale{si}.{field}")

@@ -221,3 +221,23 @@ def test_distributed_helpers_single_process():
     assert process_local_batch_slice(8) == slice(0, 8)
     mesh_dp = global_mesh()
     assert dict(mesh_dp.shape) == {"data": 8, "lattice": 1}
+
+
+@pytest.mark.slow
+def test_two_process_dp_dryrun():
+    """Multi-HOST layer: 2 OS processes x 4 virtual devices join one JAX job
+    through parallel.distributed.initialize (explicit coordinator, gloo) and
+    take a DP step with the grad psum crossing the process boundary — both
+    workers must report the identical finite loss (tools/dryrun_multiprocess
+    asserts this and exits nonzero otherwise)."""
+    import json
+    import os.path as osp
+    import subprocess
+    import sys
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, osp.join(repo, "tools", "dryrun_multiprocess.py")],
+        capture_output=True, text=True, timeout=3600, cwd=repo)
+    assert proc.returncode == 0, proc.stdout[-3000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["ok"] and result["n_processes"] == 2

@@ -109,6 +109,21 @@ def main():
         print(f"{dur/n_mods/1000:8.3f} ms  {100*dur/tot:5.1f}%  "
               f"{name[:70]:70s} {src[:60]}")
 
+    # family rollup: strip trailing .N / numeric suffixes so the long tail
+    # of per-instance fusions aggregates into attributable groups
+    import re
+    fam = {}
+    for name, (d, a) in seen.items():
+        base = re.sub(r"[.\d]+$", "", name)
+        t, cnt, src = fam.get(base, (0.0, 0, ""))
+        fam[base] = (t + d, cnt + 1,
+                     src or ((a or {}).get("source_info", "") or ""))
+    print("\n-- families --")
+    for t, cnt, base, src in sorted(((t, c, b, s) for b, (t, c, s)
+                                     in fam.items()), reverse=True)[:30]:
+        print(f"{t/n_mods/1000:8.3f} ms  {100*t/tot:5.1f}%  x{cnt:4d}  "
+              f"{base[:50]:50s} {src[:50]}")
+
 
 if __name__ == "__main__":
     main()
