@@ -123,12 +123,12 @@ def main():
     t = time.perf_counter()
     np.asarray(fwd(params, a, b))
     t_one = time.perf_counter() - t
-    # two passes of the queue-depth ladder, min marginal: single-pass
+    # three passes of the queue-depth ladder, min marginal: single-pass
     # marginals through the tunnel jitter by a few ms (measured 62.1 vs
     # 65.8 on identical code); the min over passes is robust to one-off
     # host/tunnel interference while never under-reporting device time
     marginals = []
-    for rep in range(2):
+    for rep in range(3):
         times = {}
         for iters in (8, 24):
             t = time.perf_counter()
@@ -157,7 +157,7 @@ def main():
     _log(f"train compile+first in {time.perf_counter() - t:.1f}s "
          f"(loss {float(loss):.4f})")
     tmarginals = []
-    for rep in range(2):
+    for rep in range(3):
         ttimes = {}
         for iters in (8, 24):
             t = time.perf_counter()
