@@ -869,6 +869,30 @@ def _neighbor_table(cl: CloudLattice, offsets: np.ndarray, d: int,
     return jnp.concatenate([self_row, rest], axis=0), jnp.sum(oflow)
 
 
+def _fused_build_threshold() -> int:
+    """Per-scale dual-cloud fusion policy from ``HPL_FUSED_BUILD``.
+
+    ``"0"`` (default) never fuses; ``"1"`` fuses every scale; any other
+    integer is a capacity threshold — fuse only scales whose capacity is
+    <= the value.  Rationale: fusing the two clouds' builds+probes halves
+    the op count but raises real compare/sort volume, so it LOSES at the
+    fine scales (measured 24.7 ms fwd vs 23.3 all-fused-vs-unfused, TPU
+    v5e, 8192-pt pairs) while the coarse scales — a few hundred vertices,
+    cost = pure per-op overhead — looked like where halving op count could
+    pay.  Measured (2026-08-20, same protocol): threshold 3584 (fuses the
+    four coarse scales) is NEUTRAL — fwd 23.7 vs 23.6 ms, train 61.4 vs
+    61.7 — the coarse builder ops are not the profile's small-op tail, so
+    the default stays off.
+    """
+    import os
+    v = os.environ.get("HPL_FUSED_BUILD", "0").strip()
+    if v in ("", "0"):
+        return -1
+    if v == "1":
+        return 1 << 30
+    return int(v)
+
+
 def _tag_words(words, tag: int):
     """Tag a key-word tuple's low word with the cloud bit.  Sentinel entries
     (detected by the low-30-bit pattern, any form) become the per-cloud
@@ -880,7 +904,7 @@ def _tag_words(words, tag: int):
     return (w0, *rest)
 
 
-def _probe_two(vwa, ra, qa, vwb, rb, qb, bw):
+def _probe_two(vwa, ra, qa, vwb, rb, qb, bw, fuse: bool = False):
     """Fused windowed probe of (table_a, queries_a) and (table_b, queries_b).
 
     One probe over the tagged fused table ``[a | b]`` and column-concatenated
@@ -888,23 +912,22 @@ def _probe_two(vwa, ra, qa, vwb, rb, qb, bw):
     fetch plumbing) are paid once instead of twice.  Requires equal leading
     (tap) dims and sentinel-masked inputs; returns ``(idx_a, found_a,
     idx_b, found_b, overflow_sum)`` with b's indices rebased to its own
-    table.  Falls back to two plain probes when the block size straddles
-    the seam, under probe shard_map, or in exact mode.
+    table.  Falls back to two plain probes unless ``fuse`` (see
+    :func:`_fused_build_threshold`), when the block size straddles the
+    seam, under probe shard_map, or in exact mode.
 
     ``ra``/``rb`` are the tables' real-entry counts (CloudLattice.num_valid):
     a fused table's real entries live in two runs ``[0, ra) ∪ [Ha, Ha+rb)``,
     so the windowed probe gets per-segment position caps.
     """
-    import os
     ha = vwa[0].shape[0]
     hb = vwb[0].shape[0]
     b = bw[0]
     from ..ops.dispatch import exact_mode_active
-    fuse = (ha % b == 0 and hb % b == 0
+    fuse = (fuse and ha % b == 0 and hb % b == 0
             and qa[0].shape[1] == ha and qb[0].shape[1] == hb
             and qa[0].shape[0] == qb[0].shape[0]
-            and _PROBE_MESH.get() is None and not exact_mode_active()
-            and os.environ.get("HPL_FUSED_BUILD", "0") == "1")
+            and _PROBE_MESH.get() is None and not exact_mode_active())
     if not fuse:
         ia, fa, oa = _probe_dispatch(vwa, qa, rows_sorted=True, bw=bw)
         ib, fb, ob = _probe_dispatch(vwb, qb, rows_sorted=True, bw=bw)
@@ -924,8 +947,9 @@ def _probe_two(vwa, ra, qa, vwb, rb, qb, bw):
 
 
 def _neighbor_table_two(cl1: CloudLattice, cl2: CloudLattice,
-                        offsets: np.ndarray, d: int, bits: int = 10):
-    """Both clouds' blur-neighbor tables from one fused probe."""
+                        offsets: np.ndarray, d: int, bits: int = 10,
+                        fuse: bool = False):
+    """Both clouds' blur-neighbor tables from one (optionally fused) probe."""
     assert not offsets[0].any(), "stencil row 0 must be the zero offset"
     deltas = _pack_deltas(offsets[1:], d, bits)
 
@@ -938,7 +962,7 @@ def _neighbor_table_two(cl1: CloudLattice, cl2: CloudLattice,
     i1, f1, i2, f2, oflow = _probe_two(
         cl1.vkeys, cl1.num_valid, queries(cl1),
         cl2.vkeys, cl2.num_valid, queries(cl2),
-        _PROBE_BW_BLUR)
+        _PROBE_BW_BLUR, fuse=fuse)
 
     def table(cl, idx, found):
         ok = found & cl.vertex_valid[None, :]
@@ -954,7 +978,8 @@ def _neighbor_table_two(cl1: CloudLattice, cl2: CloudLattice,
 def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
                  filter_offsets: np.ndarray, corr_offsets: np.ndarray, d: int,
                  pc1_corr: jax.Array | None = None,
-                 with_inverse: bool = False, bits: int = 10):
+                 with_inverse: bool = False, bits: int = 10,
+                 fuse: bool = False):
     """Correlation index tables (reference semantics, transforms.py:223-241).
 
     pc1_corr[c, h]       = id of (key1[h] + corr_offsets[c]) in cloud-1 table
@@ -1008,7 +1033,7 @@ def _corr_tables(cl1: CloudLattice, cl2: CloudLattice,
         rw = offset_queries(-uniq, cl2.vkeys, ok_v2)
         idx2, found2, idx3, found3, of23 = _probe_two(
             cl2.vkeys, cl2.num_valid, qw,
-            cl1.vkeys, cl1.num_valid, rw, _PROBE_BW_CORR)
+            cl1.vkeys, cl1.num_valid, rw, _PROBE_BW_CORR, fuse=fuse)
         probe_overflow = probe_overflow + of23
         ok3 = found3 & ok_v2
         uniq_inv = jnp.where(ok3, idx3, -1).astype(jnp.int32)  # (U, H2)
@@ -1080,16 +1105,18 @@ def build_pyramid(
     elev2 = geom.elevate(pc2, spec.scales[0].scale)
 
     bits = spec.coord_bits
-    import os
     # DEFAULT OFF: fusing the two clouds' builds+probes halves the op count
     # but RAISES real volume — the level-1 dense bounds compare every query
     # against 2x the block-first keys, and the 2x-length sort is
     # super-linear — measured 24.7 ms fwd / 62.1 train vs 23.3 / 61.7
-    # unfused (TPU v5e, 8192-pt pairs, 2026-08-19).  Kept (parity-tested)
-    # behind HPL_FUSED_BUILD=1 for shapes where op-count dominates.
-    fuse_builds = os.environ.get("HPL_FUSED_BUILD", "0") == "1"
+    # all-scales-fused vs unfused (TPU v5e, 8192-pt pairs, 2026-08-19).
+    # Kept (parity-tested) behind HPL_FUSED_BUILD: "1" fuses every scale,
+    # an integer fuses only capacity<=threshold scales (the coarse,
+    # op-count-dominated tail) — see _fused_build_threshold.
+    fuse_thr = _fused_build_threshold()
     scales_out = []
     for i, ss in enumerate(spec.scales):
+        fuse_builds = ss.capacity <= fuse_thr
         if fuse_builds and elev1.shape == elev2.shape:
             # one tagged sort builds both clouds (exact; halves the
             # builder's small-op tail — see _build_two_from_elevated)
@@ -1130,7 +1157,8 @@ def build_pyramid(
             offs = neighborhood_offsets(ss.blur_radius, spec.d)
             if fuse_builds:
                 nb1, nb2, of12 = _neighbor_table_two(cl1, cl2, offs,
-                                                     spec.d, bits)
+                                                     spec.d, bits,
+                                                     fuse=True)
                 probe_oflow = probe_oflow + of12
             else:
                 nb1, of1 = _neighbor_table(cl1, offs, spec.d, bits)
@@ -1152,11 +1180,11 @@ def build_pyramid(
                 # neighbors; skip Cc*H probes (default config has all radii 1)
                 corr1, corr2u, corr2inv, corr2u_inv, of_c = _corr_tables(
                     cl1, cl2, f_offs, c_offs, spec.d, pc1_corr=nb1,
-                    with_inverse=adjoint_plans, bits=bits)
+                    with_inverse=adjoint_plans, bits=bits, fuse=fuse_builds)
             else:
                 corr1, corr2u, corr2inv, corr2u_inv, of_c = _corr_tables(
                     cl1, cl2, f_offs, c_offs, spec.d,
-                    with_inverse=adjoint_plans, bits=bits)
+                    with_inverse=adjoint_plans, bits=bits, fuse=fuse_builds)
             probe_oflow = probe_oflow + of_c
             stencil_oflow = (stencil_oflow
                              + _soc(corr1, ss.capacity, BLUR_WINDOW)

@@ -418,10 +418,14 @@ def test_fused_dual_cloud_build_capacity_overflow_parity():
             np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
 
 
-def test_fused_pyramid_matches_unfused_end_to_end():
-    """HPL_FUSED_BUILD=1 (fused dual-cloud sorts + fused probes) must yield
+@pytest.mark.parametrize("mode", ["1", "512"])
+def test_fused_pyramid_matches_unfused_end_to_end(mode):
+    """HPL_FUSED_BUILD (fused dual-cloud sorts + fused probes) must yield
     a pyramid identical to the unfused path in every index table, plan and
-    counter, including the corr inverse tables (adjoint_plans=True)."""
+    counter, including the corr inverse tables (adjoint_plans=True).
+    "1" fuses every scale; "512" is a capacity threshold that fuses scales
+    0 (cap 512) and 2 (cap 384) while scale 1 (cap 640) stays unfused —
+    the mixed per-scale policy (lattice/build._fused_build_threshold)."""
     import os
     import numpy as np
     import jax
@@ -447,7 +451,7 @@ def test_fused_pyramid_matches_unfused_end_to_end():
 
     old = os.environ.get("HPL_FUSED_BUILD")
     try:
-        os.environ["HPL_FUSED_BUILD"] = "1"
+        os.environ["HPL_FUSED_BUILD"] = mode
         fused = run()
         os.environ["HPL_FUSED_BUILD"] = "0"
         unfused = run()
